@@ -1,0 +1,195 @@
+"""BC1 (DXT1) block codec in pure JAX — vectorized over all blocks at once.
+
+Wire format (S3TC, normative external reference [1] of the Hap spec,
+HapVideoDRAFT.md:22): an 8-byte block = two RGB565 endpoints (little-endian
+uint16) + a 32-bit field of 2-bit palette indices, texel 0 in the LSBs.
+
+Decode rounding rule (the S3TC spec permits implementation variance; this
+framework fixes one rule and uses it consistently in encode + decode +
+scalar oracle): 2/3 interpolation = (2a + b + 1) // 3, 1/2 = (a + b + 1)//2.
+
+Encode = PCA endpoint fit (power iteration on the per-block 3x3 covariance,
+batched onto the MXU) + nearest-palette index selection + least-squares
+endpoint refinement. All steps are (N, ...) vectorized; no per-block Python.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+
+def expand565(c: jnp.ndarray):
+    """uint16 RGB565 -> (r8, g8, b8) int32 with standard bit replication."""
+    c = c.astype(_I32)
+    r5 = (c >> 11) & 0x1F
+    g6 = (c >> 5) & 0x3F
+    b5 = c & 0x1F
+    r = (r5 << 3) | (r5 >> 2)
+    g = (g6 << 2) | (g6 >> 4)
+    b = (b5 << 3) | (b5 >> 2)
+    return r, g, b
+
+
+def quantize565(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) float RGB in [0,255] -> uint16 565 with round-to-nearest."""
+    rgb = jnp.clip(rgb, 0.0, 255.0)
+    r = jnp.round(rgb[..., 0] * (31.0 / 255.0)).astype(_I32)
+    g = jnp.round(rgb[..., 1] * (63.0 / 255.0)).astype(_I32)
+    b = jnp.round(rgb[..., 2] * (31.0 / 255.0)).astype(_I32)
+    return ((r << 11) | (g << 5) | b).astype(jnp.uint16)
+
+
+def _palette(c0: jnp.ndarray, c1: jnp.ndarray, four_color: jnp.ndarray):
+    """Build the 4-entry palette. Returns (N, 4, 3) int32 and opacity (N, 4).
+
+    four_color: bool per block. In 3-color mode entry 3 is transparent black.
+    """
+    r0, g0, b0 = expand565(c0)
+    r1, g1, b1 = expand565(c1)
+    e0 = jnp.stack([r0, g0, b0], axis=-1)  # (N, 3)
+    e1 = jnp.stack([r1, g1, b1], axis=-1)
+    p2_4 = (2 * e0 + e1 + 1) // 3
+    p3_4 = (e0 + 2 * e1 + 1) // 3
+    p2_3 = (e0 + e1 + 1) // 2
+    p3_3 = jnp.zeros_like(e0)
+    fc = four_color[:, None]
+    p2 = jnp.where(fc, p2_4, p2_3)
+    p3 = jnp.where(fc, p3_4, p3_3)
+    palette = jnp.stack([e0, e1, p2, p3], axis=1)  # (N, 4, 3)
+    opaque = jnp.concatenate(
+        [
+            jnp.ones((c0.shape[0], 3), dtype=jnp.bool_),
+            four_color[:, None],
+        ],
+        axis=1,
+    )  # (N, 4): entry 3 transparent in 3-color mode
+    return palette, opaque
+
+
+def bc1_decode_blocks(words: jnp.ndarray, dxt1_punchthrough: bool = True):
+    """(N, 2) uint32 BC1 blocks -> ((N, 16, 3) uint8 RGB, (N, 16) uint8 alpha).
+
+    ``dxt1_punchthrough=False`` forces 4-color mode regardless of endpoint
+    order (the rule for the colour half of a BC3 block).
+    """
+    w0 = words[:, 0].astype(_U32)
+    idx_word = words[:, 1].astype(_U32)
+    c0 = (w0 & 0xFFFF).astype(jnp.uint16)
+    c1 = (w0 >> 16).astype(jnp.uint16)
+    if dxt1_punchthrough:
+        four_color = c0.astype(_I32) > c1.astype(_I32)
+    else:
+        four_color = jnp.ones(words.shape[0], dtype=jnp.bool_)
+    palette, opaque = _palette(c0, c1, four_color)
+
+    shifts = (2 * jnp.arange(16, dtype=_U32))[None, :]  # (1, 16)
+    codes = ((idx_word[:, None] >> shifts) & 0x3).astype(_I32)  # (N, 16)
+    rgb = jnp.take_along_axis(palette, codes[:, :, None], axis=1)  # (N, 16, 3)
+    alpha = jnp.take_along_axis(opaque, codes, axis=1)
+    return rgb.astype(jnp.uint8), (alpha * 255).astype(jnp.uint8)
+
+
+def _principal_axis(px: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """(N, 16, 3) float pixels -> (N, 3) unit principal axis via power iteration."""
+    mean = jnp.mean(px, axis=1, keepdims=True)
+    centered = px - mean
+    # Batched covariance: (N, 3, 3) — MXU-friendly contraction.
+    cov = jnp.einsum("nkc,nkd->ncd", centered, centered, preferred_element_type=_F32)
+    v = jnp.sum(jnp.abs(cov), axis=2) + 1e-4  # row-sum start: cheap, robust
+    for _ in range(iters):
+        v = jnp.einsum("ncd,nd->nc", cov, v, preferred_element_type=_F32)
+        v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+    return v
+
+
+_CODE_WEIGHTS_BC1 = jnp.array([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0], dtype=_F32)
+
+
+def _fit_endpoints_ls(px: jnp.ndarray, weights: jnp.ndarray, e0: jnp.ndarray, e1: jnp.ndarray):
+    """Least-squares endpoints given per-pixel interpolation weights.
+
+    Minimizes sum_i ||px_i - ((1-w_i) e0 + w_i e1)||^2; keeps the previous
+    endpoints where the normal-equation system is singular (solid blocks).
+    px: (N, 16, C); weights: (N, 16); e0/e1: (N, C).
+    """
+    one_m = 1.0 - weights
+    alpha = jnp.sum(one_m * one_m, axis=1)
+    beta = jnp.sum(one_m * weights, axis=1)
+    gamma = jnp.sum(weights * weights, axis=1)
+    r0 = jnp.einsum("nk,nkc->nc", one_m, px, preferred_element_type=_F32)
+    r1 = jnp.einsum("nk,nkc->nc", weights, px, preferred_element_type=_F32)
+    det = alpha * gamma - beta * beta
+    ok = jnp.abs(det) > 1e-4
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    n0 = (gamma[:, None] * r0 - beta[:, None] * r1) * inv_det[:, None]
+    n1 = (alpha[:, None] * r1 - beta[:, None] * r0) * inv_det[:, None]
+    return (
+        jnp.where(ok[:, None], n0, e0),
+        jnp.where(ok[:, None], n1, e1),
+    )
+
+
+def _select_indices(px: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """Nearest palette entry per texel. px (N,16,3); palette (N,4,3) -> (N,16)."""
+    d = px[:, :, None, :] - palette[:, None, :, :].astype(_F32)  # (N,16,4,3)
+    dist = jnp.sum(d * d, axis=-1)
+    return jnp.argmin(dist, axis=-1).astype(_I32)
+
+
+def _pack_indices2(codes: jnp.ndarray) -> jnp.ndarray:
+    shifts = (2 * jnp.arange(16, dtype=_U32))[None, :]
+    return jnp.sum(codes.astype(_U32) << shifts, axis=1, dtype=_U32)
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray:
+    """(N, 16, 3) uint8 RGB -> (N, 2) uint32 BC1 blocks (4-color mode).
+
+    PCA endpoint seed + iterative (index-select, least-squares-refit). The
+    emitted blocks always satisfy c0 >= c1; equal endpoints use all-zero
+    indices, so punch-through transparency is never produced.
+    """
+    px = pixels.astype(_F32)
+    n = px.shape[0]
+
+    axis = _principal_axis(px)
+    mean = jnp.mean(px, axis=1)
+    t = jnp.einsum("nkc,nc->nk", px - mean[:, None, :], axis, preferred_element_type=_F32)
+    tmin = jnp.min(t, axis=1)
+    tmax = jnp.max(t, axis=1)
+    e0 = mean + axis * tmax[:, None]  # e0 = high end
+    e1 = mean + axis * tmin[:, None]
+
+    def one_round(e0, e1):
+        q0 = quantize565(e0)
+        q1 = quantize565(e1)
+        # Canonical order c0 >= c1 keeps us in 4-color mode.
+        swap = q0.astype(_I32) < q1.astype(_I32)
+        q0, q1 = jnp.where(swap, q1, q0), jnp.where(swap, q0, q1)
+        four = jnp.ones(n, dtype=jnp.bool_)
+        palette, _ = _palette(q0, q1, four)
+        codes = _select_indices(px, palette)
+        # Where endpoints are equal the palette is degenerate: use code 0.
+        codes = jnp.where((q0 == q1)[:, None], 0, codes)
+        return q0, q1, codes
+
+    q0, q1, codes = one_round(e0, e1)
+    for _ in range(refine_iters):
+        w = _CODE_WEIGHTS_BC1[codes]
+        r0, g0, b0 = expand565(q0)
+        r1, g1, b1 = expand565(q1)
+        e0f = jnp.stack([r0, g0, b0], -1).astype(_F32)
+        e1f = jnp.stack([r1, g1, b1], -1).astype(_F32)
+        e0n, e1n = _fit_endpoints_ls(px, w, e0f, e1f)
+        q0, q1, codes = one_round(e0n, e1n)
+
+    idx = _pack_indices2(codes)
+    w0 = q0.astype(_U32) | (q1.astype(_U32) << 16)
+    return jnp.stack([w0, idx], axis=1)

@@ -1,0 +1,161 @@
+"""BC4 (RGTC1) single-channel block codec in pure JAX.
+
+Wire format (RGTC, normative external reference [5] of the Hap spec,
+HapVideoDRAFT.md:26): an 8-byte block = two uint8 endpoints a0, a1 + 48 bits
+of 3-bit palette indices, texel 0 in the LSBs of the index field.
+
+Palette (a0 > a1, the 8-interp mode — the only mode this encoder emits):
+  code 0 -> a0, code 1 -> a1, code k in 2..7 -> ((8-k)*a0 + (k-1)*a1 + 3)//7
+Palette (a0 <= a1, 6-interp mode, decode-only):
+  code 0 -> a0, code 1 -> a1, code k in 2..5 -> ((6-k)*a0 + (k-1)*a1 + 2)//5,
+  code 6 -> 0, code 7 -> 255
+
+Rounding is fixed to round-to-nearest via the +n//2 bias, consistently in
+decode, encode and the scalar oracle. Used standalone for Hap Alpha-Only
+(HapA) and the alpha plane of Hap Q Alpha (HapM), and as the alpha half of
+BC3 blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hap_tpu.kernels.bc1 import _fit_endpoints_ls
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+# Interpolation weight of each code in 8-interp mode: value = (1-w)*a0 + w*a1.
+_CODE_WEIGHTS_BC4 = jnp.array(
+    [0.0, 1.0, 1 / 7, 2 / 7, 3 / 7, 4 / 7, 5 / 7, 6 / 7], dtype=_F32
+)
+
+
+def _palette8(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
+    """(N,) int32 endpoint pairs -> (N, 8) int32 palette, mode-dependent."""
+    n = a0.shape[0]
+    ks = jnp.arange(8, dtype=_I32)[None, :]  # (1, 8)
+    a0e = a0[:, None]
+    a1e = a1[:, None]
+    interp7 = ((8 - ks) * a0e + (ks - 1) * a1e + 3) // 7  # valid for k>=2
+    interp5 = ((6 - ks) * a0e + (ks - 1) * a1e + 2) // 5
+    pal7 = jnp.where(ks == 0, a0e, jnp.where(ks == 1, a1e, interp7))
+    pal5 = jnp.where(
+        ks == 0,
+        a0e,
+        jnp.where(
+            ks == 1,
+            a1e,
+            jnp.where(ks == 6, 0, jnp.where(ks == 7, 255, interp5)),
+        ),
+    )
+    return jnp.where((a0 > a1)[:, None], pal7, pal5)
+
+
+def _split_words(words: jnp.ndarray):
+    w0 = words[:, 0].astype(_U32)
+    w1 = words[:, 1].astype(_U32)
+    a0 = (w0 & 0xFF).astype(_I32)
+    a1 = ((w0 >> 8) & 0xFF).astype(_I32)
+    return w0, w1, a0, a1
+
+
+def bc4_codes(words: jnp.ndarray) -> jnp.ndarray:
+    """Extract the 16 3-bit codes from (N, 2) uint32 blocks -> (N, 16) int32."""
+    w0, w1, _, _ = _split_words(words)
+    # 48-bit index field: low 16 bits in w0[16:32], high 32 bits in w1.
+    t = jnp.arange(16, dtype=_I32)[None, :]
+    bit = 3 * t  # start bit within the 48-bit field
+    # Gather each 3-bit code from the 64-bit (w0,w1) pair without 64-bit ops:
+    # field bits 0..15 live in w0 >> 16; bits 16..47 live in w1.
+    lo16 = (w0 >> 16).astype(_U32)[:, None]  # (N, 1)
+    hi32 = w1[:, None]
+    # Read a 3-bit window starting at `bit` from the concatenation lo16|hi32<<16.
+    # Shift amounts are clamped to [0, 31] because jnp.where evaluates both
+    # branches and out-of-range shifts are undefined.
+    up = jnp.clip(16 - bit, 0, 31).astype(_U32)
+    down = jnp.clip(bit - 16, 0, 31).astype(_U32)
+    from_lo = (lo16 >> jnp.clip(bit, 0, 31).astype(_U32)) | jnp.where(
+        bit > 0, hi32 << up, 0
+    )
+    shifted = jnp.where(bit < 16, from_lo, hi32 >> down)
+    return (shifted & 0x7).astype(_I32)
+
+
+def bc4_decode_blocks(words: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) uint32 BC4 blocks -> (N, 16) uint8 channel values."""
+    _, _, a0, a1 = _split_words(words)
+    palette = _palette8(a0, a1)  # (N, 8)
+    codes = bc4_codes(words)
+    vals = jnp.take_along_axis(palette, codes, axis=1)
+    return vals.astype(jnp.uint8)
+
+
+def _pack_codes3(codes: jnp.ndarray, a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
+    """Pack 16 3-bit codes + endpoints into (N, 2) uint32."""
+    t = jnp.arange(16, dtype=_I32)[None, :]
+    bit = 3 * t
+    c = codes.astype(_U32)
+    # Contribution to the low 16 bits of the 48-bit field (clamped shifts:
+    # where evaluates both branches):
+    lo = (
+        jnp.sum(
+            jnp.where(bit <= 13, c << jnp.clip(bit, 0, 31).astype(_U32), 0),
+            axis=1,
+            dtype=_U32,
+        )
+        & 0xFFFF
+    )
+    # Straddling code at bit 15 (t=5): low bit goes to lo, high bits to hi.
+    strad = (codes[:, 5].astype(_U32) >> 1) & 0x3
+    hi = (
+        jnp.sum(
+            jnp.where(bit >= 16, c << jnp.clip(bit - 16, 0, 31).astype(_U32), 0),
+            axis=1,
+            dtype=_U32,
+        )
+        | strad
+    )
+    # t=5 low bit:
+    lo = lo | ((codes[:, 5].astype(_U32) & 0x1) << 15)
+    w0 = a0.astype(_U32) | (a1.astype(_U32) << 8) | (lo << 16)
+    return jnp.stack([w0, hi], axis=1)
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
+    """(N, 16) uint8 channel -> (N, 2) uint32 BC4 blocks (8-interp mode).
+
+    Endpoint seed = block max/min; one least-squares refinement round by
+    default. Emits a0 >= a1; equal endpoints use all-zero codes.
+    """
+    v = values.astype(_F32)
+    n = v.shape[0]
+
+    e0 = jnp.max(v, axis=1)  # a0 = high end (a0 > a1 selects 8-interp mode)
+    e1 = jnp.min(v, axis=1)
+
+    def one_round(e0, e1):
+        a0 = jnp.clip(jnp.round(e0), 0, 255).astype(_I32)
+        a1 = jnp.clip(jnp.round(e1), 0, 255).astype(_I32)
+        swap = a0 < a1
+        a0, a1 = jnp.where(swap, a1, a0), jnp.where(swap, a0, a1)
+        palette = _palette8(a0, a1)  # (N, 8)
+        d = v[:, :, None] - palette[:, None, :].astype(_F32)
+        codes = jnp.argmin(d * d, axis=-1).astype(_I32)
+        codes = jnp.where((a0 == a1)[:, None], 0, codes)
+        return a0, a1, codes
+
+    a0, a1, codes = one_round(e0, e1)
+    for _ in range(refine_iters):
+        w = _CODE_WEIGHTS_BC4[codes]
+        e0n, e1n = _fit_endpoints_ls(
+            v[:, :, None], w, a0.astype(_F32)[:, None], a1.astype(_F32)[:, None]
+        )
+        a0, a1, codes = one_round(e0n[:, 0], e1n[:, 0])
+
+    return _pack_codes3(codes, a0, a1)

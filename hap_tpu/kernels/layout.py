@@ -1,0 +1,69 @@
+"""Pixel <-> 4x4-block layout transforms and byte/word packing.
+
+S3TC stores a frame as raster-ordered 4x4 texel blocks. On TPU we keep
+frames as (H, W, C) arrays and blocks as (N, 16, C) arrays (N = block count,
+16 texels in row-major order within the block) so every per-block op
+vectorizes over the leading axis.
+
+Odd dimensions (width/height not multiples of 4 — the reference's 'Odd
+Dimensions' test pack, README.md:24) are handled by edge-replication padding
+on encode and cropping on decode; block count is ceil(W/4)*ceil(H/4)
+(hap.c:285-294 implies the payload covers whole blocks).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def padded_dims(height: int, width: int) -> tuple:
+    return ((height + 3) // 4) * 4, ((width + 3) // 4) * 4
+
+
+def image_to_blocks(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) or (H, W) -> (N, 16[, C]) with edge-replication padding."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    ph, pw = padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        img = jnp.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    bh, bw = ph // 4, pw // 4
+    blocks = (
+        img.reshape(bh, 4, bw, 4, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(bh * bw, 16, c)
+    )
+    return blocks[..., 0] if squeeze else blocks
+
+
+def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """(N, 16[, C]) -> (H, W[, C]), cropping any edge-block padding."""
+    squeeze = blocks.ndim == 2
+    if squeeze:
+        blocks = blocks[..., None]
+    n, sixteen, c = blocks.shape
+    ph, pw = padded_dims(height, width)
+    bh, bw = ph // 4, pw // 4
+    img = (
+        blocks.reshape(bh, bw, 4, 4, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ph, pw, c)
+    )
+    img = img[:height, :width]
+    return img[..., 0] if squeeze else img
+
+
+def pack_u8_to_u32(b: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4k) uint8 -> (..., k) uint32, little-endian."""
+    u = b.astype(jnp.uint32).reshape(*b.shape[:-1], -1, 4)
+    return u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16) | (u[..., 3] << 24)
+
+
+def unpack_u32_to_u8(w: jnp.ndarray) -> jnp.ndarray:
+    """(..., k) uint32 -> (..., 4k) uint8, little-endian."""
+    parts = jnp.stack(
+        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF], axis=-1
+    )
+    return parts.astype(jnp.uint8).reshape(*w.shape[:-1], -1)
