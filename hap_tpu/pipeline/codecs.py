@@ -1,0 +1,240 @@
+"""Per-family pixel<->frame codecs: Hap, Hap Alpha, Hap Q, Hap Alpha-Only,
+
+Hap Q Alpha (FourCCs Hap1/Hap5/HapY/HapA/HapM, spec HapVideoDRAFT.md:134-142).
+
+Each codec owns two jitted device functions (blocks encode / decode) cached
+per frame shape, and delegates the byte plane to the native runtime (with a
+pure-Python fallback when the native build is unavailable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hap_tpu.constants import Compressor, HapError, HapResult, TextureFormat
+from hap_tpu.kernels.bc1 import bc1_decode_blocks, bc1_encode_blocks
+from hap_tpu.kernels.bc3 import bc3_decode_blocks, bc3_encode_blocks
+from hap_tpu.kernels.bc4 import bc4_decode_blocks, bc4_encode_blocks
+from hap_tpu.kernels.layout import blocks_to_image, image_to_blocks
+from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
+
+
+def _words_to_bytes(words) -> bytes:
+    return np.ascontiguousarray(np.asarray(words), dtype="<u4").tobytes()
+
+
+def _bytes_to_words(data, words_per_block: int) -> jnp.ndarray:
+    arr = np.frombuffer(data, dtype="<u4").reshape(-1, words_per_block)
+    return jnp.asarray(arr)
+
+
+# ---------------------------------------------------------------------------
+# Device-side block functions (jitted once per frame shape)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _enc_hap(img: jnp.ndarray) -> jnp.ndarray:
+    return bc1_encode_blocks(image_to_blocks(img[..., :3]))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    rgb, _ = bc1_decode_blocks(words)
+    return blocks_to_image(rgb, h, w)
+
+
+@jax.jit
+def _enc_hap_alpha(img: jnp.ndarray) -> jnp.ndarray:
+    return bc3_encode_blocks(image_to_blocks(img))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_alpha(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(bc3_decode_blocks(words), h, w)
+
+
+@jax.jit
+def _enc_hap_q(img: jnp.ndarray) -> jnp.ndarray:
+    blocks = image_to_blocks(img[..., :3])
+    return bc3_encode_blocks(rgb_to_cocgsy(blocks))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_q(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(cocgsy_to_rgb(bc3_decode_blocks(words)), h, w)
+
+
+@jax.jit
+def _enc_hap_a(img: jnp.ndarray) -> jnp.ndarray:
+    chan = img if img.ndim == 2 else img[..., -1]
+    return bc4_encode_blocks(image_to_blocks(chan))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_a(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(bc4_decode_blocks(words), h, w)
+
+
+# ---------------------------------------------------------------------------
+# Codec table
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HapCodec:
+    name: str
+    fourcc: str
+    texture_formats: Tuple[TextureFormat, ...]
+    channels: int  # pixel channels consumed/produced
+
+    @property
+    def multi_texture(self) -> bool:
+        return len(self.texture_formats) > 1
+
+
+CODECS: Dict[str, HapCodec] = {
+    "hap": HapCodec("hap", "Hap1", (TextureFormat.RGB_DXT1,), 3),
+    "hap_alpha": HapCodec("hap_alpha", "Hap5", (TextureFormat.RGBA_DXT5,), 4),
+    "hap_q": HapCodec("hap_q", "HapY", (TextureFormat.YCoCg_DXT5,), 3),
+    "hap_alpha_only": HapCodec("hap_alpha_only", "HapA", (TextureFormat.A_RGTC1,), 1),
+    "hap_q_alpha": HapCodec(
+        "hap_q_alpha", "HapM", (TextureFormat.YCoCg_DXT5, TextureFormat.A_RGTC1), 4
+    ),
+}
+
+_ENCODERS = {
+    TextureFormat.RGB_DXT1: (_enc_hap, 2),
+    TextureFormat.RGBA_DXT5: (_enc_hap_alpha, 4),
+    TextureFormat.YCoCg_DXT5: (_enc_hap_q, 4),
+    TextureFormat.A_RGTC1: (_enc_hap_a, 2),
+}
+
+_DECODERS = {
+    TextureFormat.RGB_DXT1: (_dec_hap, 2),
+    TextureFormat.RGBA_DXT5: (_dec_hap_alpha, 4),
+    TextureFormat.YCoCg_DXT5: (_dec_hap_q, 4),
+    TextureFormat.A_RGTC1: (_dec_hap_a, 2),
+}
+
+
+def _byte_plane():
+    """Native runtime if buildable, else pure-Python container+snappy."""
+    try:
+        from hap_tpu import native
+
+        native.load()
+        return native
+    except Exception:
+        return None
+
+
+def encode_frame(
+    image,
+    codec: str = "hap_q",
+    chunk_count: int = 8,
+    compressor: Compressor = Compressor.SNAPPY,
+    n_threads: int = 0,
+) -> bytes:
+    """Encode one (H, W, C) uint8 image into a Hap frame.
+
+    Device: layout -> (YCoCg) -> BCn encode. Host: chunked Snappy + container
+    stitch, mirroring HapEncode exactly (hap.c:506-604).
+    """
+    spec = CODECS[codec]
+    img = jnp.asarray(image)
+    if img.ndim == 2:
+        img = img[..., None]
+
+    payloads = []
+    for fmt in spec.texture_formats:
+        enc, _ = _ENCODERS[fmt]
+        if fmt == TextureFormat.A_RGTC1 and spec.multi_texture:
+            words = enc(img[..., 3])
+        else:
+            words = enc(img)
+        payloads.append(_words_to_bytes(words))
+
+    native = _byte_plane()
+    formats = [int(f) for f in spec.texture_formats]
+    ccs = [chunk_count] * len(payloads)
+    comps = [int(compressor == Compressor.SNAPPY)] * len(payloads)
+    if native is not None:
+        return native.encode(payloads, formats, comps, ccs, n_threads=n_threads)
+    from hap_tpu.container.serialize import serialize_frame
+
+    return serialize_frame(
+        payloads, spec.texture_formats,
+        [compressor] * len(payloads), ccs,
+    )
+
+
+def _decode_texture_python(frame, index: int) -> bytes:
+    """Pure-Python texture decode (plan + pyref snappy) — fallback path and
+
+    differential-test oracle for the native runtime."""
+    from hap_tpu.container.parse import parse_frame
+    from hap_tpu.constants import CHUNK_COMPRESSOR_SNAPPY
+    from hap_tpu.snappy import pyref
+
+    view = memoryview(frame)
+    tex = parse_frame(frame).textures[index]
+    out = bytearray(tex.decoded_bytes)
+    for i in range(tex.chunk_count):
+        off = int(tex.chunk_compressed_offsets[i])
+        csize = int(tex.chunk_compressed_sizes[i])
+        uoff = int(tex.chunk_uncompressed_offsets[i])
+        usize = int(tex.chunk_uncompressed_sizes[i])
+        blob = view[off : off + csize]
+        if tex.chunk_compressors[i] == CHUNK_COMPRESSOR_SNAPPY:
+            out[uoff : uoff + usize] = pyref.decompress(blob, expected_length=usize)
+        else:
+            out[uoff : uoff + usize] = blob
+    return bytes(out)
+
+
+def codec_for_frame(frame) -> HapCodec:
+    """Identify the codec family of an encoded frame from its texture formats."""
+    from hap_tpu.container.parse import parse_frame
+
+    plan = parse_frame(frame)
+    fmts = tuple(t.texture_format for t in plan.textures)
+    for spec in CODECS.values():
+        if spec.texture_formats == fmts:
+            return spec
+    raise HapError(HapResult.BAD_FRAME, f"no codec for texture formats {fmts}")
+
+
+def decode_frame(
+    frame,
+    height: int,
+    width: int,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Decode a Hap frame to (H, W, C) uint8 pixels (C per codec family)."""
+    spec = codec_for_frame(frame)
+    native = _byte_plane()
+
+    images = []
+    for index, fmt in enumerate(spec.texture_formats):
+        if native is not None:
+            payload, got_fmt = native.decode(frame, index, n_threads=n_threads)
+            if got_fmt != fmt:
+                raise HapError(HapResult.BAD_FRAME, "format mismatch")
+        else:
+            payload = _decode_texture_python(frame, index)
+
+        dec, wpb = _DECODERS[fmt]
+        words = _bytes_to_words(payload, wpb)
+        images.append(np.asarray(dec(words, height, width)))
+
+    if not spec.multi_texture:
+        out = images[0]
+        return out
+    # Hap Q Alpha: color from the YCoCg texture + alpha plane from RGTC1.
+    color, alpha = images
+    return np.concatenate([color, alpha[..., None]], axis=-1)

@@ -1,0 +1,104 @@
+"""End-to-end pixel pipelines: encode_frame/decode_frame for all codec
+
+families, plus the reference-shaped hap_* API surface."""
+
+import numpy as np
+import pytest
+
+from hap_tpu import Compressor, TextureFormat
+from hap_tpu.api import (
+    hap_decode,
+    hap_encode,
+    hap_get_frame_texture_chunk_count,
+    hap_get_frame_texture_count,
+    hap_get_frame_texture_format,
+    hap_max_encoded_length,
+)
+from hap_tpu.pipeline import CODECS, codec_for_frame, decode_frame, encode_frame
+
+
+def psnr(a, b):
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def make_image(h, w, channels=3, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = [
+        128 + 80 * np.sin(xx / 31.0 + i) * np.cos(yy / (17.0 + 5 * i))
+        for i in range(channels)
+    ]
+    img = np.stack(chans, axis=-1) + rng.normal(0, 3, (h, w, channels))
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+QUALITY_DB = {
+    "hap": 33.0,
+    "hap_alpha": 33.0,
+    "hap_q": 36.0,
+    "hap_alpha_only": 30.0,
+    "hap_q_alpha": 34.0,
+}
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_roundtrip_all_codecs(codec):
+    spec = CODECS[codec]
+    h, w = 48, 64
+    img = make_image(h, w, spec.channels, seed=11)
+    if spec.channels == 1:
+        img = img[..., 0]
+    frame = encode_frame(img, codec, chunk_count=4)
+    got = codec_for_frame(frame)
+    assert got.name == codec
+    out = decode_frame(frame, h, w)
+    if spec.channels == 1:
+        out = out if out.ndim == 2 else out[..., 0]
+    q = psnr(img, out)
+    assert q > QUALITY_DB[codec], f"{codec}: PSNR {q:.2f} dB"
+
+
+@pytest.mark.parametrize("h,w", [(48, 64), (37, 53), (5, 3), (4, 4)])
+def test_roundtrip_odd_dimensions(h, w):
+    img = make_image(h, w, 3, seed=5)
+    frame = encode_frame(img, "hap", chunk_count=4)
+    out = decode_frame(frame, h, w)
+    assert out.shape == (h, w, 3)
+    assert psnr(img, out) > 30.0
+
+
+def test_hap_q_alpha_frame_structure():
+    img = make_image(32, 32, 4, seed=9)
+    frame = encode_frame(img, "hap_q_alpha", chunk_count=2)
+    assert hap_get_frame_texture_count(frame) == 2
+    assert hap_get_frame_texture_format(frame, 0) == TextureFormat.YCoCg_DXT5
+    assert hap_get_frame_texture_format(frame, 1) == TextureFormat.A_RGTC1
+    out = decode_frame(frame, 32, 32)
+    assert out.shape == (32, 32, 4)
+
+
+def test_chunk_count_stored():
+    # Flat image -> highly compressible BC1 payload -> Complex storage with
+    # the requested (legalized) chunk count.
+    img = np.full((64, 64, 3), 77, dtype=np.uint8)
+    frame = encode_frame(img, "hap", chunk_count=8)
+    assert hap_get_frame_texture_chunk_count(frame) == 8
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped API over raw texture bytes
+# ---------------------------------------------------------------------------
+
+def test_hap_api_surface(rng):
+    data = np.tile(rng.integers(0, 16, (64, 8), dtype=np.uint8), (16, 1)).tobytes()
+    cap = hap_max_encoded_length([len(data)], [TextureFormat.RGB_DXT1], [4])
+    assert cap > 0
+    frame = hap_encode([data], [TextureFormat.RGB_DXT1], [Compressor.SNAPPY], [4])
+    assert len(frame) <= cap
+    out, fmt = hap_decode(frame)
+    assert out == data and fmt == TextureFormat.RGB_DXT1
+    assert hap_get_frame_texture_count(frame) == 1
+    assert hap_get_frame_texture_chunk_count(frame) == 4
