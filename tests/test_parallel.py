@@ -1,0 +1,85 @@
+"""Sharding semantics on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hap_tpu.kernels.bc3 import bc3_encode_blocks
+from hap_tpu.kernels.ycocg import rgb_to_cocgsy
+from hap_tpu.parallel import (
+    make_mesh,
+    make_train_step,
+    mesh_shape_for,
+    sharded_gop_encode,
+    sharded_spatial_encode,
+)
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(8) == (4, 2)
+    assert mesh_shape_for(7) == (7, 1)
+    assert mesh_shape_for(16) == (4, 4)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8], (4, 2))
+
+
+def ref_encode(blocks):
+    flat = blocks.reshape((-1,) + blocks.shape[2:])
+    return np.asarray(bc3_encode_blocks(rgb_to_cocgsy(jnp.asarray(flat)))).reshape(
+        blocks.shape[0], blocks.shape[1], 4
+    )
+
+
+def test_gop_encode_matches_single_device(rng, mesh8):
+    blocks = rng.integers(0, 256, (8, 4, 16, 3), dtype=np.uint8)
+    fn = sharded_gop_encode(mesh8, "hap_q")
+    out = np.asarray(fn(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(out, ref_encode(blocks))
+
+
+def test_spatial_encode_matches_single_device(rng, mesh8):
+    blocks = rng.integers(0, 256, (64, 16, 3), dtype=np.uint8)
+    fn = sharded_spatial_encode(mesh8, "hap_q")
+    out = np.asarray(fn(jnp.asarray(blocks)))
+    single = np.asarray(bc3_encode_blocks(rgb_to_cocgsy(jnp.asarray(blocks))))
+    np.testing.assert_array_equal(out, single)
+
+
+@pytest.mark.parametrize("codec", ["hap", "hap_q", "hap_alpha", "hap_alpha_only"])
+def test_train_step_all_codecs(rng, mesh8, codec):
+    channels = {"hap": 3, "hap_q": 3, "hap_alpha": 4, "hap_alpha_only": 1}[codec]
+    blocks = rng.integers(0, 256, (4, 16, 16, channels), dtype=np.uint8)
+    step = make_train_step(mesh8, codec)
+    words, sse = step(jnp.asarray(blocks))
+    assert np.isfinite(float(sse))
+    assert words.shape[0] == 4 and words.shape[1] == 16
+
+
+def test_train_step_collective_consistency(rng, mesh8):
+    """The all_gather'ed words must equal the unsharded encode."""
+    blocks = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    step = make_train_step(mesh8, "hap_q")
+    words, _ = step(jnp.asarray(blocks))
+    np.testing.assert_array_equal(np.asarray(words), ref_encode(blocks))
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip(n):
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.block_until_ready(fn(*args))
+    assert out.shape == (128 * 128, 4)
