@@ -1,0 +1,211 @@
+"""On-device Hap container assembly/parse: the zero-host-roundtrip path.
+
+Encodes a whole Hap frame (headers, decode-instructions tables, chunked
+Snappy payload) as device arrays, so pixels -> frame bytes -> pixels never
+leaves HBM. Byte semantics are identical to the host serializer
+(container/serialize.py) and therefore to the reference encoder
+(hap.c:355-504): same header-length rules, same per-chunk raw fallback, same
+whole-frame fallback comparison, same fixed section order — a frame built
+here is bit-identical to one built by the host stitcher around the same
+per-chunk streams.
+
+Parse side accepts this framework's layout (which is also precisely the
+layout the reference encoder emits: DIC + compressor table + size table at
+fixed offsets, no offset table) and validates as it goes; foreign-layout
+frames flag not-ok and route to the host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hap_tpu.constants import (
+    CHUNK_COMPRESSOR_NONE,
+    CHUNK_COMPRESSOR_SNAPPY,
+    COMPRESSOR_COMPLEX,
+    COMPRESSOR_NONE,
+    SECTION_CHUNK_COMPRESSOR_TABLE,
+    SECTION_CHUNK_SIZE_TABLE,
+    SECTION_DECODE_INSTRUCTIONS,
+    UINT24_MAX,
+)
+from hap_tpu.snappy.device import (
+    _unit_layout,
+    snappy_decode_chunks,
+    snappy_encode_chunks,
+)
+
+_I32 = jnp.int32
+_U8 = jnp.uint8
+
+
+def _u32le(x):
+    """int32 scalar/array -> 4 little-endian uint8 lanes (last axis)."""
+    x = x.astype(jnp.uint32)
+    return jnp.stack(
+        [x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF, (x >> 24) & 0xFF], axis=-1
+    ).astype(_U8)
+
+
+def _header4(section_length, section_type: int):
+    b = _u32le(section_length.astype(jnp.int32) if hasattr(section_length, "astype") else jnp.asarray(section_length, _I32))
+    return jnp.concatenate([b[..., :3], jnp.full(b.shape[:-1] + (1,), section_type, _U8)], axis=-1)
+
+
+def _header8(section_length, section_type: int):
+    zeros3 = jnp.zeros(3, _U8)
+    t = jnp.full((1,), section_type, _U8)
+    return jnp.concatenate([zeros3, t, _u32le(jnp.asarray(section_length, _I32))])
+
+
+def frame_layout(input_bytes: int, chunk_count: int, G: int):
+    """Static layout facts for a (input_bytes, chunk_count) frame."""
+    S = input_bytes // chunk_count
+    dil = 5 * chunk_count + 8
+    top_hdr = 8 if input_bytes > UINT24_MAX else 4
+    if input_bytes + dil + 4 > UINT24_MAX:
+        top_hdr = 8  # hap.c:425-428
+    _, _, _, _, _, _, bound = _unit_layout(S, G)
+    payload_off = top_hdr + 4 + dil
+    fmax = payload_off + chunk_count * bound
+    fmax = max(fmax, top_hdr + input_bytes)  # raw-fallback shape
+    return S, dil, top_hdr, bound, payload_off, fmax
+
+
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+def encode_frame_device(
+    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(input_bytes,) uint8 DXT payload -> ((fmax,) uint8 frame, frame_len).
+
+    chunk_count must already be legal (container.plan.legalize_chunk_count).
+    """
+    input_bytes = payload.shape[0]
+    C = chunk_count
+    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
+    chunks = payload.reshape(C, S)
+
+    comp, comp_len = snappy_encode_chunks(chunks, S, G)
+    is_comp = comp_len < S  # per-chunk raw fallback (hap.c:460-466)
+    emit_len = jnp.where(is_comp, comp_len, S)
+    comp_byte = jnp.where(is_comp, CHUNK_COMPRESSOR_SNAPPY, CHUNK_COMPRESSOR_NONE).astype(_U8)
+    positions = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(emit_len[:-1])])
+    total_payload = positions[-1] + emit_len[-1]
+    top_section_length = 4 + dil + total_payload
+    use_complex = top_section_length < input_bytes + top_hdr  # hap.c:478-482
+
+    def build_complex(_):
+        frame = jnp.zeros(fmax, _U8)
+        type_byte = (COMPRESSOR_COMPLEX << 4) | fmt_id
+        hdr = (
+            _header8(top_section_length, type_byte)
+            if top_hdr == 8
+            else _header4(top_section_length, type_byte)
+        )
+        frame = jax.lax.dynamic_update_slice(frame, hdr, (0,))
+        frame = jax.lax.dynamic_update_slice(
+            frame, _header4(jnp.asarray(dil, _I32), SECTION_DECODE_INSTRUCTIONS), (top_hdr,)
+        )
+        frame = jax.lax.dynamic_update_slice(
+            frame, _header4(jnp.asarray(C, _I32), SECTION_CHUNK_COMPRESSOR_TABLE), (top_hdr + 4,)
+        )
+        frame = jax.lax.dynamic_update_slice(frame, comp_byte, (top_hdr + 8,))
+        frame = jax.lax.dynamic_update_slice(
+            frame, _header4(jnp.asarray(4 * C, _I32), SECTION_CHUNK_SIZE_TABLE), (top_hdr + 8 + C,)
+        )
+        frame = jax.lax.dynamic_update_slice(
+            frame, _u32le(emit_len).reshape(-1), (top_hdr + 12 + C,)
+        )
+
+        # Payload: write each chunk's (bound-padded) stream at its position;
+        # in-order writes let the next chunk overwrite the previous pad tail.
+        padded = jnp.where(is_comp[:, None], comp[:, :bound],
+                           jnp.pad(chunks, ((0, 0), (0, bound - S)))[:, :bound])
+
+        def body(frame, c):
+            frame = jax.lax.dynamic_update_slice(
+                frame, padded[c], (payload_off + positions[c],)
+            )
+            return frame, None
+
+        frame, _ = jax.lax.scan(body, frame, jnp.arange(C, dtype=_I32))
+        return frame, top_hdr + top_section_length
+
+    def build_raw(_):
+        frame = jnp.zeros(fmax, _U8)
+        type_byte = (COMPRESSOR_NONE << 4) | fmt_id
+        hdr = (
+            _header8(jnp.asarray(input_bytes, _I32), type_byte)
+            if top_hdr == 8
+            else _header4(jnp.asarray(input_bytes, _I32), type_byte)
+        )
+        frame = jax.lax.dynamic_update_slice(frame, hdr, (0,))
+        frame = jax.lax.dynamic_update_slice(frame, payload, (top_hdr,))
+        return frame, jnp.asarray(top_hdr + input_bytes, _I32)
+
+    frame, frame_len = jax.lax.cond(use_complex, build_complex, build_raw, None)
+    return frame, frame_len.astype(_I32)
+
+
+@partial(jax.jit, static_argnames=("input_bytes", "chunk_count", "fmt_id", "G"))
+def decode_frame_device(
+    frame: jnp.ndarray,
+    input_bytes: int,
+    chunk_count: int,
+    fmt_id: int,
+    G: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """((fmax,) uint8, static expectations) -> ((input_bytes,) uint8, ok).
+
+    Accepts frames in the fixed layout both this framework and the reference
+    encoder emit. ok=False (with best-effort output) for foreign layouts or
+    non-structured snappy chunk streams — callers then use the host path.
+    """
+    C = chunk_count
+    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
+    if frame.shape[0] < fmax:
+        frame = jnp.pad(frame, (0, fmax - frame.shape[0]))
+    # Pad so chunk-window extraction can't run off the end.
+    frame = jnp.pad(frame, (0, bound))
+
+    type_byte = frame[3]
+    compressor = (type_byte >> 4) & 0xF
+    ok = (type_byte & 0xF) == fmt_id
+
+    def dec_raw(_):
+        return jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,)), ok
+
+    def dec_complex(_):
+        okc = ok
+        okc &= frame[top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
+        okc &= frame[top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
+        okc &= frame[top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
+        comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (C,))
+        size_bytes = jax.lax.dynamic_slice(frame, (top_hdr + 12 + C,), (4 * C,)).reshape(C, 4).astype(_I32)
+        sizes = size_bytes[:, 0] | (size_bytes[:, 1] << 8) | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
+        is_comp = comp_table == CHUNK_COMPRESSOR_SNAPPY
+        okc &= jnp.all(is_comp | (comp_table == CHUNK_COMPRESSOR_NONE))
+        okc &= jnp.all(sizes <= bound)
+        sizes = jnp.minimum(sizes, bound)
+        positions = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])])
+
+        def body(_, c):
+            win = jax.lax.dynamic_slice(frame, (payload_off + positions[c],), (bound,))
+            return None, win
+
+        _, windows = jax.lax.scan(body, None, jnp.arange(C, dtype=_I32))  # (C, bound)
+        dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
+        raw = windows[:, :S]
+        out = jnp.where(is_comp[:, None], dec, raw)
+        okc &= jnp.all(chunk_ok | ~is_comp)
+        return out.reshape(-1), okc
+
+    is_raw = compressor == COMPRESSOR_NONE
+    is_complex = compressor == COMPRESSOR_COMPLEX
+    out, okr = jax.lax.cond(is_raw, dec_raw, dec_complex, None)
+    return out, okr & (is_raw | is_complex)
