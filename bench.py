@@ -1,0 +1,125 @@
+"""Benchmark: 4K Hap Q encode+decode throughput, one TPU chip.
+
+Headline metric (BASELINE.md): Mpixels/s/chip for the full encode+decode
+roundtrip on 4K (3840x2160) Hap Q — pixels -> complete Hap frame bytes ->
+pixels, entirely on device (the flagship serving path: layout -> scaled
+YCoCg -> BC3 -> chunked structured Snappy -> container, and back).
+
+vs_baseline: the reference implementation (hap.c + snappy, CPU) only does
+the container+Snappy byte plane — it neither encodes nor decodes textures
+(hap.h:89-90). The baseline here is our native C++ runtime running exactly
+that reference workload (single-threaded, like the reference's serial
+encode loop hap.c:448-476) on the same DXT payload, measured on this host.
+Our number additionally includes the full texture codec work on the chip.
+
+Prints ONE JSON line to stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+H, W = 2160, 3840
+CHUNKS = 64
+ITERS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_4k_frame():
+    """Semi-compressible 4K content: gradients, flat regions, texture."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 97.0) * np.cos(yy / 61.0),
+            128 + 100 * np.cos(xx / 53.0) * np.sin(yy / 83.0),
+            128 + 100 * np.sin((xx + yy) / 71.0),
+        ],
+        axis=-1,
+    )
+    img[: H // 4] = 64.0  # flat band (typical letterbox/graphics content)
+    img[H // 2 : H // 2 + H // 8] += rng.normal(0, 12, (H // 8, W, 3))  # noisy band
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hap_tpu import native
+    from hap_tpu.pipeline.device_pipeline import encode_pipeline, roundtrip_pipeline
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    img_np = make_4k_frame()
+    img = jax.device_put(jnp.asarray(img_np), dev)
+
+    # --- headline: on-device roundtrip -------------------------------------
+    t0 = time.time()
+    out, flen, ok = roundtrip_pipeline(img, "hap_q", CHUNKS)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time()-t0:.1f}s  ok={bool(ok)}  frame_len={int(flen)}")
+    assert bool(ok)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out, flen, ok = roundtrip_pipeline(img, "hap_q", CHUNKS)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / ITERS
+    mpix = H * W / dt / 1e6
+    log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s")
+
+    # quality sanity
+    out_np = np.asarray(out)
+    mse = np.mean((out_np.astype(np.float64) - img_np.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    log(f"Hap Q roundtrip PSNR: {psnr:.2f} dB, frame {int(flen)/1e6:.2f} MB "
+        f"(raw DXT {H*W/1e6:.2f} MB)")
+
+    # --- baseline: reference workload (container+snappy, CPU, 1 thread) ----
+    frame_buf, flen2 = encode_pipeline(img, "hap_q", CHUNKS)
+    jax.block_until_ready(frame_buf)
+    dxt_payload = np.asarray(
+        jnp.reshape(
+            jnp.asarray(
+                np.frombuffer(bytes(np.asarray(frame_buf)[: int(flen2)]), np.uint8)
+            ),
+            (-1,),
+        )
+    )  # just to have bytes on host; payload itself below
+    # The reference encodes *DXT payload* bytes; regenerate them on host.
+    from hap_tpu.pipeline.device_pipeline import _encode_blocks
+    from hap_tpu.kernels.layout import unpack_u32_to_u8
+
+    words = _encode_blocks("hap_q", img)
+    payload = np.asarray(unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)).tobytes()
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        ref_frame = native.encode([payload], [0x01], [1], [CHUNKS], n_threads=1)
+    t_enc = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        ref_out, _ = native.decode(ref_frame, n_threads=1)
+    t_dec = (time.time() - t0) / reps
+    assert ref_out == payload
+    base_mpix = H * W / (t_enc + t_dec) / 1e6
+    log(f"baseline (reference workload, CPU 1-thread container+snappy): "
+        f"enc {t_enc*1000:.1f} ms + dec {t_dec*1000:.1f} ms -> {base_mpix:.1f} Mpix/s")
+
+    print(json.dumps({
+        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip)",
+        "value": round(mpix, 1),
+        "unit": "Mpixels/s",
+        "vs_baseline": round(mpix / base_mpix, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
