@@ -91,7 +91,10 @@ def bc4_decode_blocks(words: jnp.ndarray) -> jnp.ndarray:
     _, _, a0, a1 = _split_words(words)
     palette = _palette8(a0, a1)  # (N, 8)
     codes = bc4_codes(words)
-    vals = jnp.take_along_axis(palette, codes, axis=1)
+    # where-chain instead of gather (see bc1.py note on TPU gather cost)
+    vals = palette[:, 0][:, None]
+    for k in range(1, 8):
+        vals = jnp.where(codes == k, palette[:, k][:, None], vals)
     return vals.astype(jnp.uint8)
 
 
@@ -152,7 +155,9 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
 
     a0, a1, codes = one_round(e0, e1)
     for _ in range(refine_iters):
-        w = _CODE_WEIGHTS_BC4[codes]
+        # gather-free weight select: codes 0/1 map to 0/1, k>=2 to (k-1)/7
+        cf = codes.astype(_F32)
+        w = jnp.where(codes == 0, 0.0, jnp.where(codes == 1, 1.0, (cf - 1.0) / 7.0))
         e0n, e1n = _fit_endpoints_ls(
             v[:, :, None], w, a0.astype(_F32)[:, None], a1.astype(_F32)[:, None]
         )

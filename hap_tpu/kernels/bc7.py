@@ -131,19 +131,31 @@ def _decode_mode(words: jnp.ndarray, mode: int):
         endpoints.append(jnp.stack(vals, axis=-1))  # (N, 4)
     endpoints = jnp.stack(endpoints, axis=1)  # (N, ne, 4)
 
-    # Subset assignment and anchors per texel
+    # Subset assignment and anchors per texel. Table rows are fetched with a
+    # one-hot matmul instead of a gather (TPU gathers cost ~8ns/element;
+    # (N,64)x(64,16) rides the MXU).
+    def table_rows(table):
+        onehot = jax.nn.one_hot(partition, table.shape[0], dtype=jnp.float32)
+        return jnp.round(
+            onehot @ jnp.asarray(table, jnp.float32)
+        ).astype(_I32)
+
+    def table_scalar(table):
+        onehot = jax.nn.one_hot(partition, table.shape[0], dtype=jnp.float32)
+        return jnp.round(onehot @ jnp.asarray(table, jnp.float32)).astype(_I32)
+
     if NS == 1:
         subset = jnp.zeros((n, 16), _I32)
         anchors = [jnp.zeros(n, _I32)]
     elif NS == 2:
-        subset = jnp.asarray(PARTITIONS2)[partition]  # (N, 16)
-        anchors = [jnp.zeros(n, _I32), jnp.asarray(ANCHOR2_2)[partition]]
+        subset = table_rows(PARTITIONS2)  # (N, 16)
+        anchors = [jnp.zeros(n, _I32), table_scalar(ANCHOR2_2[:, None])[:, 0]]
     else:
-        subset = jnp.asarray(PARTITIONS3)[partition]
+        subset = table_rows(PARTITIONS3)
         anchors = [
             jnp.zeros(n, _I32),
-            jnp.asarray(ANCHOR3_2)[partition],
-            jnp.asarray(ANCHOR3_3)[partition],
+            table_scalar(ANCHOR3_2[:, None])[:, 0],
+            table_scalar(ANCHOR3_3[:, None])[:, 0],
         ]
 
     texel = jnp.arange(16, dtype=_I32)[None, :]
@@ -174,7 +186,12 @@ def _decode_mode(words: jnp.ndarray, mode: int):
         e1 = jnp.where(sel, endpoints[:, 2 * s + 1][:, None, :], e1)
 
     def interp(idx, bits):
-        w = jnp.asarray(WEIGHTS[bits])[idx][:, :, None]  # (N,16,1)
+        # gather-free weight lookup: where-chain over the small weight table
+        table = WEIGHTS[bits]
+        w = jnp.full(idx.shape, int(table[0]), _I32)
+        for k in range(1, len(table)):
+            w = jnp.where(idx == k, int(table[k]), w)
+        w = w[:, :, None]
         return (e0 * (64 - w) + e1 * w + 32) >> 6
 
     if IB2:
@@ -269,7 +286,9 @@ def bc7_encode_blocks_mode6(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.n
 
     q0, p0, q1, p1, codes = one_round(e0f, e1f)
     for _ in range(refine_iters):
-        w = jnp.asarray(_W4, jnp.float32)[codes] / 64.0
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 16):  # gather-free weight select
+            w = jnp.where(codes == k, float(_W4[k]) / 64.0, w)
         e0n, e1n = _fit_endpoints_ls(px, w, e0f, e1f)
         q0, p0, q1, p1, codes = one_round(e0n, e1n)
         e0f, e1f = e0n, e1n

@@ -137,15 +137,20 @@ def snappy_encode_chunks(data: jnp.ndarray, S: int, G: int) -> Tuple[jnp.ndarray
     return out, comp_len
 
 
-@partial(jax.jit, static_argnames=("S", "G"))
+@partial(jax.jit, static_argnames=("S", "G", "units_per_step"))
 def snappy_decode_chunks(
-    comp: jnp.ndarray, comp_len: jnp.ndarray, S: int, G: int
+    comp: jnp.ndarray, comp_len: jnp.ndarray, S: int, G: int,
+    units_per_step: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """((C, B) uint8 streams, (C,) lengths) -> ((C, S) uint8, (C,) ok bool).
 
     Lockstep structured decode. ok[c] is False when stream c is valid Snappy
     but not this framework's structured profile (or malformed) — the caller
     falls back to the host codec for those chunks.
+
+    Per-row gathers cost ~1 ms each on TPU regardless of width, so each scan
+    step fetches a window covering ``units_per_step`` worst-case units and
+    peels the units out of it with static-slice where-chains (pure VPU work).
     """
     C, B = comp.shape
     U, n_full, tail, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
@@ -154,34 +159,65 @@ def snappy_decode_chunks(
     copy_tag = 2 | (((U - 1) << 2) & 0xFF)
 
     ok0 = jnp.all(comp[:, :P] == jnp.asarray(pre)[None, :], axis=1)
-    window_idx = jnp.arange(emit_max, dtype=_I32)
 
-    def step(carry, u):
+    K = max(1, min(units_per_step, n_full))
+    n_steps = -(-n_full // K)  # ceil
+    win_w = K * emit_max
+    window_idx = jnp.arange(win_w, dtype=_I32)
+
+    def step(carry, blk):
         cursor, out, prevg, ok = carry
         idx = jnp.minimum(cursor[:, None] + window_idx[None, :], B - 1)
-        win = jnp.take_along_axis(comp, idx, axis=1)  # (C, emit_max)
-        tag = win[:, 0]
-        is_copy = tag == copy_tag
-        # copy element must be offset G (LE16)
-        copy_ok = (win[:, 1] == (G & 0xFF)) & (win[:, 2] == (G >> 8))
-        lit_ok = tag == lit_tag
-        if lit_hdr == 2:
-            lit_ok = lit_ok & (win[:, 1] == (U - 1))
-        ok = ok & jnp.where(is_copy, copy_ok, lit_ok)
-        lit = win[:, lit_hdr : lit_hdr + U]
-        cp = jnp.tile(prevg, (1, 4))
-        unit = jnp.where(is_copy[:, None], cp, lit)
-        out = jax.lax.dynamic_update_slice(out, unit, (0, u * U))
-        prevg = unit[:, -G:]
-        cursor = cursor + jnp.where(is_copy, 3, U + lit_hdr)
+        win = jnp.take_along_axis(comp, idx, axis=1)  # (C, K*emit_max)
+
+        units = []
+        # Per-chunk offset of unit j inside the window: 3a + emit_max*b with
+        # a+b == j, tracked as a running where-chained sub-window.
+        off_options = [0]  # possible offsets for unit 0
+        n_copies_before = jnp.zeros((C,), _I32)
+        for j in range(K):
+            u_global = blk * K + j
+            valid = u_global < n_full
+            # Select this unit's emit_max-wide sub-window: with a_copies copy
+            # units and (j - a_copies) literal units before it in this window,
+            # it starts at 3*a_copies + emit_max*(j - a_copies).
+            sub = None
+            for a_copies in range(j + 1):
+                o = 3 * a_copies + emit_max * (j - a_copies)
+                cand = win[:, o : o + emit_max]
+                if sub is None:
+                    sub = cand
+                else:
+                    sub = jnp.where((n_copies_before == a_copies)[:, None], cand, sub)
+            tag = sub[:, 0]
+            is_copy = (tag == copy_tag) & valid
+            copy_ok = (sub[:, 1] == (G & 0xFF)) & (sub[:, 2] == (G >> 8))
+            lit_ok = tag == lit_tag
+            if lit_hdr == 2:
+                lit_ok = lit_ok & (sub[:, 1] == (U - 1))
+            ok = ok & jnp.where(
+                valid, jnp.where(is_copy, copy_ok, lit_ok), True
+            )
+            lit = sub[:, lit_hdr : lit_hdr + U]
+            cp = jnp.tile(prevg, (1, U // G))
+            unit = jnp.where(is_copy[:, None], cp, lit)
+            units.append(unit)
+            prevg = jnp.where(valid, unit[:, -G:], prevg)
+            n_copies_before = n_copies_before + is_copy.astype(_I32)
+            cursor = cursor + jnp.where(
+                valid, jnp.where(is_copy, 3, U + lit_hdr), 0
+            )
+        block_out = jnp.concatenate(units, axis=1)  # (C, K*U)
+        out = jax.lax.dynamic_update_slice(out, block_out, (0, blk * K * U))
         return (cursor, out, prevg, ok), None
 
-    out0 = jnp.zeros((C, n_full * U), _U8)
+    out0 = jnp.zeros((C, n_steps * K * U), _U8)
     prev0 = jnp.zeros((C, G), _U8)
     cursor0 = jnp.full((C,), P, _I32)
     (cursor, out, _, ok), _ = jax.lax.scan(
-        step, (cursor0, out0, prev0, ok0), jnp.arange(n_full, dtype=_I32)
+        step, (cursor0, out0, prev0, ok0), jnp.arange(n_steps, dtype=_I32)
     )
+    out = out[:, : n_full * U]
 
     if tail:
         ttag = _lit_tag_bytes(tail)
