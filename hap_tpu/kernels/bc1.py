@@ -103,16 +103,26 @@ def bc1_decode_blocks(words: jnp.ndarray, dxt1_punchthrough: bool = True):
 
 
 def _principal_axis(px: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
-    """(N, 16, 3) float pixels -> (N, 3) unit principal axis via power iteration."""
+    """(N, 16, C) float pixels -> (N, C) unit principal axis via power iteration.
+
+    The tiny per-block covariance (CxC with C=3 or 4) is computed and applied
+    with unrolled elementwise arithmetic: batched 3x3 einsums pad onto the
+    128x128 MXU catastrophically (~44 ms for 4K on v5e vs ~0 elementwise).
+    """
+    nch = px.shape[-1]
     mean = jnp.mean(px, axis=1, keepdims=True)
-    centered = px - mean
-    # Batched covariance: (N, 3, 3) — MXU-friendly contraction.
-    cov = jnp.einsum("nkc,nkd->ncd", centered, centered, preferred_element_type=_F32)
-    v = jnp.sum(jnp.abs(cov), axis=2) + 1e-4  # row-sum start: cheap, robust
+    d = px - mean  # (N, 16, C)
+    # Upper-triangle covariance entries, each a (N,) vector.
+    cov = [[jnp.sum(d[..., i] * d[..., j], axis=1) for j in range(nch)] for i in range(nch)]
+    for i in range(nch):
+        for j in range(i):
+            cov[i][j] = cov[j][i]
+    v = [sum(jnp.abs(cov[i][j]) for j in range(nch)) + 1e-4 for i in range(nch)]
     for _ in range(iters):
-        v = jnp.einsum("ncd,nd->nc", cov, v, preferred_element_type=_F32)
-        v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
-    return v
+        nv = [sum(cov[i][j] * v[j] for j in range(nch)) for i in range(nch)]
+        norm = jax.lax.rsqrt(sum(x * x for x in nv) + 1e-24)
+        v = [x * norm for x in nv]
+    return jnp.stack(v, axis=-1)
 
 
 _CODE_WEIGHTS_BC1 = jnp.array([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0], dtype=_F32)
@@ -137,8 +147,9 @@ def _fit_endpoints_ls(px: jnp.ndarray, weights: jnp.ndarray, e0: jnp.ndarray, e1
     alpha = jnp.sum(one_m * one_m, axis=1)
     beta = jnp.sum(one_m * weights, axis=1)
     gamma = jnp.sum(weights * weights, axis=1)
-    r0 = jnp.einsum("nk,nkc->nc", one_m, px, preferred_element_type=_F32)
-    r1 = jnp.einsum("nk,nkc->nc", weights, px, preferred_element_type=_F32)
+    # elementwise contractions (batched tiny matvecs waste the MXU)
+    r0 = jnp.sum(one_m[:, :, None] * px, axis=1)
+    r1 = jnp.sum(weights[:, :, None] * px, axis=1)
     det = alpha * gamma - beta * beta
     ok = jnp.abs(det) > 1e-4
     inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
@@ -175,7 +186,7 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
 
     axis = _principal_axis(px)
     mean = jnp.mean(px, axis=1)
-    t = jnp.einsum("nkc,nc->nk", px - mean[:, None, :], axis, preferred_element_type=_F32)
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
     tmin = jnp.min(t, axis=1)
     tmax = jnp.max(t, axis=1)
     e0 = mean + axis * tmax[:, None]  # e0 = high end

@@ -248,8 +248,7 @@ def bc7_encode_blocks_mode6(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.n
 
     axis = _principal_axis(px)  # works for 4 channels too
     mean = jnp.mean(px, axis=1)
-    t = jnp.einsum("nkc,nc->nk", px - mean[:, None, :], axis,
-                   preferred_element_type=jnp.float32)
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
     e0f = mean + axis * jnp.min(t, axis=1)[:, None]
     e1f = mean + axis * jnp.max(t, axis=1)[:, None]
 

@@ -50,16 +50,27 @@ def _varint_bytes(value: int) -> np.ndarray:
             return np.array(out, dtype=np.uint8)
 
 
+_UNIT = 128  # output bytes per unit (two copy2 elements, or one literal)
+_COPY_ELEMS = _UNIT // 64  # copy2 length caps at 64
+_COPY_SIZE = 3 * _COPY_ELEMS  # bytes emitted for a copy unit
+
+
 def _unit_layout(S: int, G: int):
-    """Static per-chunk layout: unit count, tail bytes, emission bound."""
-    U = 4 * G
+    """Static per-chunk layout: unit count, tail bytes, emission bound.
+
+    A unit covers _UNIT output bytes. Copy units emit _COPY_ELEMS
+    back-to-back ``copy2(offset=G, len=64)`` elements (overlapping copies
+    continue the G-periodic run — the standard Snappy RLE idiom); literal
+    units emit one extended-length literal (2-byte tag + _UNIT bytes).
+    """
+    U = _UNIT
     n_full = S // U
     tail = S - n_full * U  # multiple of G, < U
-    lit_hdr = 1 if U <= 60 else 2  # literal tag size for a full unit
+    lit_hdr = 2  # literal tag for len 128 (60-coded + 1 length byte)
     emit_max = U + lit_hdr  # worst per-unit emission
     pre = _varint_bytes(S)
-    # bound: preamble + all-literal units + tail literal
-    bound = len(pre) + n_full * emit_max + (tail + 1 if tail else 0)
+    tail_hdr = (1 if tail - 1 < 60 else 2) if tail else 0
+    bound = len(pre) + n_full * emit_max + (tail + tail_hdr if tail else 0)
     return U, n_full, tail, lit_hdr, emit_max, pre, bound
 
 
@@ -71,29 +82,35 @@ def _lit_tag_bytes(length: int) -> np.ndarray:
     return np.array([60 << 2, n], dtype=np.uint8)
 
 
-@partial(jax.jit, static_argnames=("S", "G"))
-def snappy_encode_chunks(data: jnp.ndarray, S: int, G: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("S", "G", "impl"))
+def snappy_encode_chunks(
+    data: jnp.ndarray, S: int, G: int, impl: str = "pallas"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(C, S) uint8 -> ((C, bound) uint8 streams, (C,) int32 lengths).
 
     Every output stream is a conforming Snappy encoding of its row.
+    impl="pallas" compacts the unit emissions with the Pallas kernel
+    (vector stores at scalar offsets); impl="xla" uses a scatter (slow on
+    TPU — ~8 ns/element — kept as a portable reference path).
     """
     C = data.shape[0]
     U, n_full, tail, lit_hdr, emit_max, pre, bound = _unit_layout(S, G)
     P = len(pre)
 
-    units = data[:, : n_full * U].reshape(C, n_full, 4, G)
+    units = data[:, : n_full * U].reshape(C, n_full, U // G, G)
     # Preceding G bytes of unit u = last group of unit u-1 (u>=1).
     prevg = jnp.concatenate(
-        [jnp.zeros((C, 1, G), _U8), units[:, :-1, 3, :]], axis=1
+        [jnp.zeros((C, 1, G), _U8), units[:, :-1, -1, :]], axis=1
     )  # (C, n_full, G)
     is_copy = jnp.all(units == prevg[:, :, None, :], axis=(2, 3))
     is_copy = is_copy.at[:, 0].set(False)  # no history for the first unit
 
     # Build per-unit emissions (C, n_full, emit_max).
     lit_tag = jnp.asarray(_lit_tag_bytes(U))  # (lit_hdr,)
-    copy_tag = jnp.asarray(
-        np.array([2 | ((U - 1) << 2) & 0xFF, G & 0xFF, G >> 8], dtype=np.uint8)
-    )
+    copy_bytes = jnp.asarray(
+        np.tile(np.array([2 | (63 << 2) & 0xFF, G & 0xFF, G >> 8], dtype=np.uint8),
+                _COPY_ELEMS)
+    )  # _COPY_ELEMS x copy2(offset=G, len=64)
     lit_emit = jnp.concatenate(
         [
             jnp.broadcast_to(lit_tag, (C, n_full, lit_hdr)),
@@ -101,9 +118,11 @@ def snappy_encode_chunks(data: jnp.ndarray, S: int, G: int) -> Tuple[jnp.ndarray
         ],
         axis=2,
     )  # (C, n_full, emit_max)
-    copy_emit = jnp.zeros((C, n_full, emit_max), _U8).at[:, :, :3].set(copy_tag)
+    copy_emit = jnp.zeros((C, n_full, emit_max), _U8).at[:, :, : _COPY_SIZE].set(
+        copy_bytes
+    )
     emit = jnp.where(is_copy[:, :, None], copy_emit, lit_emit)
-    sizes = jnp.where(is_copy, 3, emit_max).astype(_I32)  # (C, n_full)
+    sizes = jnp.where(is_copy, _COPY_SIZE, emit_max).astype(_I32)  # (C, n_full)
 
     if tail:
         tail_tag = jnp.asarray(_lit_tag_bytes(tail))
@@ -118,11 +137,19 @@ def snappy_encode_chunks(data: jnp.ndarray, S: int, G: int) -> Tuple[jnp.ndarray
         )
     n_units = emit.shape[1]
 
-    # Assemble: scatter each unit's bytes at its per-chunk cursor.
+    # Assemble each chunk's stream at its per-chunk cursor positions.
     positions = P + jnp.concatenate(
         [jnp.zeros((C, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
     )  # (C, n_units)
     comp_len = positions[:, -1] + sizes[:, -1]
+
+    if impl == "pallas":
+        from hap_tpu.snappy.pallas_kernels import _WPAD, compact_streams
+
+        emissions = jnp.pad(emit, ((0, 0), (0, 0), (0, _WPAD - emit_max)))
+        out = compact_streams(emissions, positions, bound)
+        out = out.at[:, :P].set(jnp.asarray(pre)[None, :])
+        return out, comp_len
 
     within = jnp.arange(emit_max, dtype=_I32)
     idx = positions[:, :, None] + within[None, None, :]  # (C, n_units, emit_max)
@@ -137,10 +164,10 @@ def snappy_encode_chunks(data: jnp.ndarray, S: int, G: int) -> Tuple[jnp.ndarray
     return out, comp_len
 
 
-@partial(jax.jit, static_argnames=("S", "G", "units_per_step"))
+@partial(jax.jit, static_argnames=("S", "G", "units_per_step", "impl"))
 def snappy_decode_chunks(
     comp: jnp.ndarray, comp_len: jnp.ndarray, S: int, G: int,
-    units_per_step: int = 16,
+    units_per_step: int = 16, impl: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """((C, B) uint8 streams, (C,) lengths) -> ((C, S) uint8, (C,) ok bool).
 
@@ -156,9 +183,18 @@ def snappy_decode_chunks(
     U, n_full, tail, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
     P = len(pre)
     lit_tag = int(_lit_tag_bytes(U)[0])
-    copy_tag = 2 | (((U - 1) << 2) & 0xFF)
+    copy_tag = 2 | (63 << 2)  # copy2 with len 64; _COPY_ELEMS of them per unit
 
     ok0 = jnp.all(comp[:, :P] == jnp.asarray(pre)[None, :], axis=1)
+
+    if impl == "pallas":
+        from hap_tpu.snappy.pallas_kernels import decode_streams
+
+        out, ok = decode_streams(
+            comp, comp_len, S, G,
+            preamble_len=P, copy_tag=copy_tag, lit_tag=lit_tag, lit_hdr=lit_hdr,
+        )
+        return out, ok & ok0
 
     K = max(1, min(units_per_step, n_full))
     n_steps = -(-n_full // K)  # ceil
@@ -183,7 +219,7 @@ def snappy_decode_chunks(
             # it starts at 3*a_copies + emit_max*(j - a_copies).
             sub = None
             for a_copies in range(j + 1):
-                o = 3 * a_copies + emit_max * (j - a_copies)
+                o = _COPY_SIZE * a_copies + emit_max * (j - a_copies)
                 cand = win[:, o : o + emit_max]
                 if sub is None:
                     sub = cand
@@ -191,7 +227,14 @@ def snappy_decode_chunks(
                     sub = jnp.where((n_copies_before == a_copies)[:, None], cand, sub)
             tag = sub[:, 0]
             is_copy = (tag == copy_tag) & valid
-            copy_ok = (sub[:, 1] == (G & 0xFF)) & (sub[:, 2] == (G >> 8))
+            copy_ok = jnp.ones_like(is_copy)
+            for e in range(_COPY_ELEMS):
+                copy_ok = (
+                    copy_ok
+                    & (sub[:, 3 * e] == copy_tag)
+                    & (sub[:, 3 * e + 1] == (G & 0xFF))
+                    & (sub[:, 3 * e + 2] == (G >> 8))
+                )
             lit_ok = tag == lit_tag
             if lit_hdr == 2:
                 lit_ok = lit_ok & (sub[:, 1] == (U - 1))
@@ -205,7 +248,7 @@ def snappy_decode_chunks(
             prevg = jnp.where(valid, unit[:, -G:], prevg)
             n_copies_before = n_copies_before + is_copy.astype(_I32)
             cursor = cursor + jnp.where(
-                valid, jnp.where(is_copy, 3, U + lit_hdr), 0
+                valid, jnp.where(is_copy, _COPY_SIZE, U + lit_hdr), 0
             )
         block_out = jnp.concatenate(units, axis=1)  # (C, K*U)
         out = jax.lax.dynamic_update_slice(out, block_out, (0, blk * K * U))
