@@ -5,34 +5,43 @@ roundtrip on 4K (3840x2160) Hap Q — pixels -> complete Hap frame bytes ->
 pixels, entirely on device (the flagship serving path: layout -> scaled
 YCoCg -> BC3 -> chunked structured Snappy -> container, and back).
 
+Timing discipline: the axon runtime dispatches lazily, so every iteration
+folds its output to a scalar fetched to the host — no un-executed work is
+counted. A GOP batch is processed per dispatch to amortize the host-sync
+latency, mirroring how a serving loop would drive the chip.
+
 vs_baseline: the reference implementation (hap.c + snappy, CPU) only does
 the container+Snappy byte plane — it neither encodes nor decodes textures
 (hap.h:89-90). The baseline here is our native C++ runtime running exactly
 that reference workload (single-threaded, like the reference's serial
-encode loop hap.c:448-476) on the same DXT payload, measured on this host.
-Our number additionally includes the full texture codec work on the chip.
+encode loop hap.c:448-476) on the same DXT payload, on this host. Our
+number additionally includes the full texture codec work on the chip.
 
 Prints ONE JSON line to stdout.
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
 
 H, W = 2160, 3840
 CHUNKS = 64
-ITERS = 20
+BATCH = 4  # frames per dispatch (GOP slice)
+ITERS = 8  # timed dispatches
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_4k_frame():
+def make_4k_frame(seed=7):
     """Semi-compressible 4K content: gradients, flat regions, texture."""
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     img = np.stack(
         [
@@ -43,7 +52,7 @@ def make_4k_frame():
         axis=-1,
     )
     img[: H // 4] = 64.0  # flat band (typical letterbox/graphics content)
-    img[H // 2 : H // 2 + H // 8] += rng.normal(0, 12, (H // 8, W, 3))  # noisy band
+    img[H // 2 : H // 2 + H // 8] += rng.normal(0, 12, (H // 8, W, 3))
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
@@ -52,51 +61,54 @@ def main():
     import jax.numpy as jnp
 
     from hap_tpu import native
-    from hap_tpu.pipeline.device_pipeline import encode_pipeline, roundtrip_pipeline
+    from hap_tpu.pipeline.device_pipeline import roundtrip_pipeline, encode_pipeline
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
     img_np = make_4k_frame()
-    img = jax.device_put(jnp.asarray(img_np), dev)
+    batch_np = np.stack([img_np] * BATCH)
+    batch = jax.device_put(jnp.asarray(batch_np), dev)
 
-    # --- headline: on-device roundtrip -------------------------------------
+    # One dispatch = BATCH frame roundtrips + scalar fold (forces execution).
+    @jax.jit
+    def gop_roundtrip(frames):
+        # lax.map, not vmap: a batch dim over the Pallas byte-plane kernels
+        # would multiply their VMEM blocks; frames are pipelined sequentially
+        # within one dispatch instead (one host sync per GOP).
+        out, flen, ok = jax.lax.map(
+            lambda f: roundtrip_pipeline(f, "hap_q", CHUNKS), frames
+        )
+        checksum = jnp.sum(out.astype(jnp.int32)) + jnp.sum(flen) + jnp.sum(ok)
+        return out, flen, ok, checksum
+
     t0 = time.time()
-    out, flen, ok = roundtrip_pipeline(img, "hap_q", CHUNKS)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time()-t0:.1f}s  ok={bool(ok)}  frame_len={int(flen)}")
-    assert bool(ok)
+    out, flen, ok, cs = gop_roundtrip(batch)
+    cs_host = float(cs)
+    log(
+        f"compile+first run: {time.time()-t0:.1f}s ok={np.asarray(ok).tolist()} "
+        f"frame_len={int(np.asarray(flen)[0])}"
+    )
+    assert np.asarray(ok).all()
 
     t0 = time.time()
     for _ in range(ITERS):
-        out, flen, ok = roundtrip_pipeline(img, "hap_q", CHUNKS)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / ITERS
+        out, flen, ok, cs = gop_roundtrip(batch)
+        cs_host = float(cs)  # host sync every dispatch
+    dt = (time.time() - t0) / (ITERS * BATCH)
     mpix = H * W / dt / 1e6
     log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s")
 
-    # quality sanity
-    out_np = np.asarray(out)
+    out_np = np.asarray(out[0])
     mse = np.mean((out_np.astype(np.float64) - img_np.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
-    log(f"Hap Q roundtrip PSNR: {psnr:.2f} dB, frame {int(flen)/1e6:.2f} MB "
+    log(f"Hap Q roundtrip PSNR: {psnr:.2f} dB, frame {int(np.asarray(flen)[0])/1e6:.2f} MB "
         f"(raw DXT {H*W/1e6:.2f} MB)")
 
     # --- baseline: reference workload (container+snappy, CPU, 1 thread) ----
-    frame_buf, flen2 = encode_pipeline(img, "hap_q", CHUNKS)
-    jax.block_until_ready(frame_buf)
-    dxt_payload = np.asarray(
-        jnp.reshape(
-            jnp.asarray(
-                np.frombuffer(bytes(np.asarray(frame_buf)[: int(flen2)]), np.uint8)
-            ),
-            (-1,),
-        )
-    )  # just to have bytes on host; payload itself below
-    # The reference encodes *DXT payload* bytes; regenerate them on host.
     from hap_tpu.pipeline.device_pipeline import _encode_blocks
     from hap_tpu.kernels.layout import unpack_u32_to_u8
 
-    words = _encode_blocks("hap_q", img)
+    words = _encode_blocks("hap_q", jnp.asarray(img_np))
     payload = np.asarray(unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)).tobytes()
 
     reps = 3

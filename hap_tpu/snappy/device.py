@@ -7,14 +7,15 @@ decoder, including the reference's google-snappy, decodes it bit-exactly),
 but its element structure is chosen so that both emission and decoding
 vectorize across chunks:
 
-* The chunk payload is processed in units of U = 4*G bytes, where G is the
-  DXT block size (8 for BC1/BC4, 16 for BC3). A unit is emitted as a single
-  copy element ``copy2(offset=G, len=U)`` (3 bytes) when it equals the
-  preceding G bytes tiled 4x (the overlapping-copy RLE idiom — exactly how
-  Snappy encodes runs), else as one literal element (U + 1-or-2 bytes).
-* Decoding such streams is a lockstep scan: all chunks advance one unit per
-  step; per-chunk cursors move data-dependently (3 vs U+tag bytes) via
-  row-offset gathers. ~130 GB/s measured on one v5e core.
+* The chunk payload is processed in 128-byte units. A unit is emitted as
+  two back-to-back ``copy2(offset=G, len=64)`` elements (6 bytes; G = the
+  DXT block size, so overlapping copies continue the G-periodic run — the
+  standard Snappy RLE idiom) when it equals the preceding G bytes tiled,
+  else as one extended literal (2-byte tag + 128 bytes).
+* Both directions run as Pallas kernels (snappy/pallas_kernels.py): aligned
+  VMEM vector traffic + dynamic lane rotates, sequential per-chunk unit
+  walks — ~0.7 GB/s per v5e core vs ~0.1 GB/s for XLA gather/scatter
+  lowerings of the same algorithm (kept here as impl="xla").
 
 The decoder VALIDATES structure as it goes and returns a per-chunk ok flag;
 streams produced by other encoders (arbitrary element mix) fail validation

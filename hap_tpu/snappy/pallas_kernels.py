@@ -234,10 +234,13 @@ def decode_streams(
                 base = n_full * U
                 blk = base // 128  # static
                 r = base - blk * 128  # static
-                tail_vec = jnp.concatenate(
-                    [jnp.zeros((1, r), _I32), win[:, thdr : thdr + tail],
-                     jnp.zeros((1, 256 - r - tail), _I32)], axis=1
-                )
+                pieces = []
+                if r:
+                    pieces.append(jnp.zeros((1, r), _I32))
+                pieces.append(win[:, thdr : thdr + tail])
+                if 256 - r - tail:
+                    pieces.append(jnp.zeros((1, 256 - r - tail), _I32))
+                tail_vec = jnp.concatenate(pieces, axis=1)
                 lane = _lane256()
                 mask = (lane >= r) & (lane < r + tail)
                 cur = jnp.concatenate(
