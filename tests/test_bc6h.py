@@ -83,14 +83,16 @@ def test_bc6h_mode11_gradient_quality(rng):
 
 
 def test_bc6h_mode11_narrow_range_quality(rng):
-    # Blocks within one octave quantize tightly.
+    # Correlated (luminance-ramp) blocks within one octave quantize tightly —
+    # the shared per-texel index tracks all three channels.
     base = 64.0 + rng.random((64, 1, 3), dtype=np.float32) * 16
-    px = (base + rng.random((64, 16, 3), dtype=np.float32) * 32).astype(np.float32)
+    t = rng.random((64, 16, 1), dtype=np.float32)
+    px = (base * (1.0 + 0.5 * t)).astype(np.float32)
     h = f32_to_half_bits(jnp.asarray(px))
     words = bc6h_encode_blocks_mode11(h)
     out = np.asarray(half_bits_to_f32(bc6h_decode_blocks(words)))
     rel = np.abs(out - px) / px
-    assert np.sqrt(np.mean(rel**2)) < 0.04, np.sqrt(np.mean(rel**2))
+    assert np.sqrt(np.mean(rel**2)) < 0.02, np.sqrt(np.mean(rel**2))
 
 
 def test_bc6h_mode11_roundtrip_oracle_agrees(rng):
