@@ -21,6 +21,13 @@ from hap_tpu.constants import Compressor, HapError, HapResult, TextureFormat
 from hap_tpu.kernels.bc1 import bc1_decode_blocks, bc1_encode_blocks
 from hap_tpu.kernels.bc3 import bc3_decode_blocks, bc3_encode_blocks
 from hap_tpu.kernels.bc4 import bc4_decode_blocks, bc4_encode_blocks
+from hap_tpu.kernels.bc6h import (
+    bc6h_decode_blocks,
+    bc6h_encode_blocks_mode11,
+    f32_to_half_bits,
+    half_bits_to_f32,
+)
+from hap_tpu.kernels.bc7 import bc7_decode_blocks, bc7_encode_blocks_mode6
 from hap_tpu.kernels.layout import blocks_to_image, image_to_blocks
 from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
 
@@ -81,6 +88,29 @@ def _dec_hap_a(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return blocks_to_image(bc4_decode_blocks(words), h, w)
 
 
+@jax.jit
+def _enc_hap_r(img: jnp.ndarray) -> jnp.ndarray:
+    """Hap R: BC7 (mode-6 encoder)."""
+    return bc7_encode_blocks_mode6(image_to_blocks(img))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_r(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(bc7_decode_blocks(words), h, w)
+
+
+@jax.jit
+def _enc_hap_hdr(img: jnp.ndarray) -> jnp.ndarray:
+    """Hap HDR: BC6H unsigned (mode-11 encoder); img float32 RGB."""
+    blocks = image_to_blocks(img.astype(jnp.float32))
+    return bc6h_encode_blocks_mode11(f32_to_half_bits(blocks))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_hdr(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(half_bits_to_f32(bc6h_decode_blocks(words)), h, w)
+
+
 # ---------------------------------------------------------------------------
 # Codec table
 # ---------------------------------------------------------------------------
@@ -105,6 +135,8 @@ CODECS: Dict[str, HapCodec] = {
     "hap_q_alpha": HapCodec(
         "hap_q_alpha", "HapM", (TextureFormat.YCoCg_DXT5, TextureFormat.A_RGTC1), 4
     ),
+    "hap_r": HapCodec("hap_r", "Hap7", (TextureFormat.RGBA_BPTC_UNORM,), 4),
+    "hap_hdr": HapCodec("hap_hdr", "HapH", (TextureFormat.RGB_BPTC_UNSIGNED_FLOAT,), 3),
 }
 
 _ENCODERS = {
@@ -112,6 +144,8 @@ _ENCODERS = {
     TextureFormat.RGBA_DXT5: (_enc_hap_alpha, 4),
     TextureFormat.YCoCg_DXT5: (_enc_hap_q, 4),
     TextureFormat.A_RGTC1: (_enc_hap_a, 2),
+    TextureFormat.RGBA_BPTC_UNORM: (_enc_hap_r, 4),
+    TextureFormat.RGB_BPTC_UNSIGNED_FLOAT: (_enc_hap_hdr, 4),
 }
 
 _DECODERS = {
@@ -119,6 +153,8 @@ _DECODERS = {
     TextureFormat.RGBA_DXT5: (_dec_hap_alpha, 4),
     TextureFormat.YCoCg_DXT5: (_dec_hap_q, 4),
     TextureFormat.A_RGTC1: (_dec_hap_a, 2),
+    TextureFormat.RGBA_BPTC_UNORM: (_dec_hap_r, 4),
+    TextureFormat.RGB_BPTC_UNSIGNED_FLOAT: (_dec_hap_hdr, 4),
 }
 
 

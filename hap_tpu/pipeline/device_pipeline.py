@@ -43,6 +43,9 @@ _CODEC_TEXTURES = {
     "hap_alpha": (TextureFormat.RGBA_DXT5,),
     "hap_q": (TextureFormat.YCoCg_DXT5,),
     "hap_alpha_only": (TextureFormat.A_RGTC1,),
+    "hap_r": (TextureFormat.RGBA_BPTC_UNORM,),
+    "hap_hdr": (TextureFormat.RGB_BPTC_UNSIGNED_FLOAT,),
+    "hap_q_alpha": (TextureFormat.YCoCg_DXT5, TextureFormat.A_RGTC1),
 }
 
 
@@ -56,6 +59,15 @@ def _encode_blocks(codec: str, img: jnp.ndarray) -> jnp.ndarray:
     if codec == "hap_alpha_only":
         chan = img if img.ndim == 2 else img[..., -1]
         return bc4_encode_blocks(image_to_blocks(chan))
+    if codec == "hap_r":
+        from hap_tpu.kernels.bc7 import bc7_encode_blocks_mode6
+
+        return bc7_encode_blocks_mode6(image_to_blocks(img))
+    if codec == "hap_hdr":
+        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11, f32_to_half_bits
+
+        blocks = image_to_blocks(img.astype(jnp.float32))
+        return bc6h_encode_blocks_mode11(f32_to_half_bits(blocks))
     raise ValueError(codec)
 
 
@@ -68,12 +80,29 @@ def _decode_blocks(codec: str, words: jnp.ndarray, h: int, w: int) -> jnp.ndarra
         return blocks_to_image(cocgsy_to_rgb(bc3_decode_blocks(words)), h, w)
     if codec == "hap_alpha_only":
         return blocks_to_image(bc4_decode_blocks(words), h, w)
+    if codec == "hap_r":
+        from hap_tpu.kernels.bc7 import bc7_decode_blocks
+
+        return blocks_to_image(bc7_decode_blocks(words), h, w)
+    if codec == "hap_hdr":
+        from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
+
+        return blocks_to_image(half_bits_to_f32(bc6h_decode_blocks(words)), h, w)
     raise ValueError(codec)
 
 
 def plan_chunks(height: int, width: int, fmt: TextureFormat, chunk_count: int) -> int:
     nbytes = dxt_payload_bytes(width, height, fmt)
     return legalize_chunk_count(nbytes, fmt, chunk_count)
+
+
+def _encode_texture_device(img, codec, fmt, chunk_count):
+    h, w = img.shape[0], img.shape[1]
+    g = bytes_per_block(fmt)
+    cc = plan_chunks(h, w, fmt, chunk_count)
+    words = _encode_blocks(codec, img)
+    payload = unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+    return encode_frame_device(payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
 
 
 @partial(jax.jit, static_argnames=("codec", "chunk_count"))
@@ -83,15 +112,53 @@ def encode_pipeline(
     """(H, W, C) uint8 -> ((fmax,) uint8 frame buffer, frame_len scalar).
 
     chunk_count is legalized against the payload size exactly as the
-    reference does (hap.c:421).
+    reference does (hap.c:421). For the multi-image hap_q_alpha codec the
+    two texture sections are assembled under a 0x0D wrapper on device
+    (mirroring HapEncode's two-texture path, hap.c:560-603).
     """
     h, w = img.shape[0], img.shape[1]
-    fmt = _CODEC_TEXTURES[codec][0]
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) == 1:
+        return _encode_texture_device(img, codec, fmts[0], chunk_count)
+
+    # hap_q_alpha: YCoCg BC3 color section + RGTC1 alpha section.
+    from hap_tpu.constants import SECTION_MULTIPLE_IMAGES, UINT24_MAX
+    from hap_tpu.container.plan import decode_instructions_length
+    from hap_tpu.pipeline.device_frame import _header4, _header8
+
+    f1, l1 = _encode_texture_device(img, "hap_q", fmts[0], chunk_count)
+    f2, l2 = _encode_texture_device(img[..., 3], "hap_alpha_only", fmts[1], chunk_count)
+
+    # Wrapper header length from the worst case (hap.c:562-576) — static.
+    worst = 0
+    for fmt in fmts:
+        nbytes = dxt_payload_bytes(w, h, fmt)
+        cc = plan_chunks(h, w, fmt, chunk_count)
+        worst += nbytes + decode_instructions_length(cc) + 4
+    top_hdr = 8 if worst > UINT24_MAX else 4
+
+    body_len = l1 + l2
+    out = jnp.zeros(top_hdr + f1.shape[0] + f2.shape[0], jnp.uint8)
+    hdr = (
+        _header8(body_len, SECTION_MULTIPLE_IMAGES)
+        if top_hdr == 8
+        else _header4(body_len, SECTION_MULTIPLE_IMAGES)
+    )
+    out = jax.lax.dynamic_update_slice(out, hdr, (0,))
+    out = jax.lax.dynamic_update_slice(out, f1, (jnp.int32(top_hdr),))
+    out = jax.lax.dynamic_update_slice(out, f2, (top_hdr + l1,))
+    return out, (top_hdr + body_len).astype(jnp.int32)
+
+
+def _decode_texture_pipeline(frame, height, width, codec, fmt, chunk_count):
     g = bytes_per_block(fmt)
-    cc = plan_chunks(h, w, fmt, chunk_count)
-    words = _encode_blocks(codec, img)
-    payload = unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
-    return encode_frame_device(payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+    nbytes = dxt_payload_bytes(width, height, fmt)
+    cc = plan_chunks(height, width, fmt, chunk_count)
+    payload, ok = decode_frame_device(frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+    wpb = bytes_per_block(fmt) // 4
+    words = pack_u8_to_u32(payload.reshape(-1, 4 * wpb))
+    img = _decode_blocks(codec, words, height, width)
+    return img, ok
 
 
 @partial(jax.jit, static_argnames=("codec", "height", "width", "chunk_count"))
@@ -102,16 +169,53 @@ def decode_pipeline(
     codec: str = "hap_q",
     chunk_count: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """((fmax,) uint8, dims) -> ((H, W, C) uint8 pixels, ok flag)."""
-    fmt = _CODEC_TEXTURES[codec][0]
-    g = bytes_per_block(fmt)
-    nbytes = dxt_payload_bytes(width, height, fmt)
-    cc = plan_chunks(height, width, fmt, chunk_count)
-    payload, ok = decode_frame_device(frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
-    wpb = bytes_per_block(fmt) // 4
-    words = pack_u8_to_u32(payload.reshape(-1, 4 * wpb))
-    img = _decode_blocks(codec, words, height, width)
-    return img, ok
+    """((fmax,) uint8, dims) -> ((H, W, C) pixels, ok flag)."""
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) == 1:
+        return _decode_texture_pipeline(
+            frame, height, width, codec, fmts[0], chunk_count
+        )
+
+    # hap_q_alpha: 0x0D wrapper with a YCoCg section then an RGTC1 section.
+    from hap_tpu.constants import SECTION_MULTIPLE_IMAGES, UINT24_MAX
+    from hap_tpu.container.plan import decode_instructions_length
+    from hap_tpu.pipeline.device_frame import frame_layout
+
+    worst = 0
+    for fmt in fmts:
+        nbytes = dxt_payload_bytes(width, height, fmt)
+        cc = plan_chunks(height, width, fmt, chunk_count)
+        worst += nbytes + decode_instructions_length(cc) + 4
+    top_hdr = 8 if worst > UINT24_MAX else 4
+    ok = frame[3] == SECTION_MULTIPLE_IMAGES
+
+    # Child 1 (color): static header length from its static payload size.
+    nb1 = dxt_payload_bytes(width, height, fmts[0])
+    cc1 = plan_chunks(height, width, fmts[0], chunk_count)
+    _, _, hdr1, _, _, f1max = frame_layout(nb1, cc1, bytes_per_block(fmts[0]))
+    nb2 = dxt_payload_bytes(width, height, fmts[1])
+    cc2 = plan_chunks(height, width, fmts[1], chunk_count)
+    _, _, _, _, _, f2max = frame_layout(nb2, cc2, bytes_per_block(fmts[1]))
+
+    pad = jnp.pad(frame, (0, top_hdr + f1max + f2max))
+    child1 = jax.lax.dynamic_slice(pad, (jnp.int32(top_hdr),), (f1max,))
+    # Section length of child 1 from its header (4- or 8-byte form).
+    b = child1.astype(jnp.int32)
+    if hdr1 == 8:
+        len1 = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
+    else:
+        len1 = b[0] | (b[1] << 8) | (b[2] << 16)
+    color, ok1 = _decode_texture_pipeline(
+        child1, height, width, "hap_q", fmts[0], chunk_count
+    )
+    child2 = jax.lax.dynamic_slice(pad, (top_hdr + hdr1 + len1,), (f2max,))
+    alpha, ok2 = _decode_texture_pipeline(
+        child2, height, width, "hap_alpha_only", fmts[1], chunk_count
+    )
+    if alpha.ndim == 2:
+        alpha = alpha[..., None]
+    img = jnp.concatenate([color, alpha], axis=-1)
+    return img, ok & ok1 & ok2
 
 
 @partial(jax.jit, static_argnames=("codec", "chunk_count"))

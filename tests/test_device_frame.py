@@ -176,6 +176,7 @@ def gradient_image(h, w, c=3, seed=0):
 
 @pytest.mark.parametrize("codec,channels", [
     ("hap", 3), ("hap_alpha", 4), ("hap_q", 3), ("hap_alpha_only", 1),
+    ("hap_r", 4), ("hap_q_alpha", 4),
 ])
 def test_device_pipeline_roundtrip(codec, channels):
     h, w = 64, 96
@@ -207,3 +208,43 @@ def test_device_pipeline_frame_is_conformant():
     )
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(host_img, np.asarray(dev_img))
+
+
+def test_device_pipeline_hap_q_alpha_host_decodes():
+    """A device-built HapM (multi-image) frame must parse and decode via the
+    host paths (python plan + native)."""
+    from hap_tpu.pipeline import codec_for_frame, decode_frame
+    from hap_tpu import native
+    from hap_tpu.container.parse import frame_texture_count
+
+    h, w = 64, 64
+    img = gradient_image(h, w, 4, seed=4)
+    frame_buf, flen = encode_pipeline(jnp.asarray(img), "hap_q_alpha", chunk_count=4)
+    frame = np.asarray(frame_buf)[: int(flen)].tobytes()
+    assert frame_texture_count(frame) == 2
+    assert codec_for_frame(frame).name == "hap_q_alpha"
+    host_img = decode_frame(frame, h, w)
+    assert host_img.shape == (h, w, 4)
+    # native decodes both textures
+    c0, f0 = native.decode(frame, 0)
+    c1, f1 = native.decode(frame, 1)
+    assert int(f0) == 0x01 and int(f1) == 0x8DBB
+    # device decode agrees with host decode bit-exactly
+    dev_img, ok = decode_pipeline(
+        jnp.asarray(np.frombuffer(frame, np.uint8)), h, w, "hap_q_alpha", 4
+    )
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(host_img, np.asarray(dev_img))
+
+
+def test_device_pipeline_hap_hdr_roundtrip():
+    rng = np.random.default_rng(5)
+    h, w = 32, 32
+    base = rng.random((1, 1, 3), dtype=np.float32) * 40 + 5
+    t = rng.random((h, w, 1), dtype=np.float32)
+    img = (base * (1.0 + t)).astype(np.float32)
+    out, flen, ok = roundtrip_pipeline(jnp.asarray(img), "hap_hdr", chunk_count=2)
+    assert bool(np.asarray(ok))
+    out = np.asarray(out)
+    rel = np.abs(out - img) / np.maximum(img, 1e-3)
+    assert np.sqrt(np.mean(rel**2)) < 0.03

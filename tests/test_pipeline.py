@@ -41,10 +41,11 @@ QUALITY_DB = {
     "hap_q": 36.0,
     "hap_alpha_only": 30.0,
     "hap_q_alpha": 34.0,
+    "hap_r": 36.0,
 }
 
 
-@pytest.mark.parametrize("codec", list(CODECS))
+@pytest.mark.parametrize("codec", [c for c in CODECS if c != "hap_hdr"])
 def test_roundtrip_all_codecs(codec):
     spec = CODECS[codec]
     h, w = 48, 64
@@ -102,3 +103,29 @@ def test_hap_api_surface(rng):
     assert out == data and fmt == TextureFormat.RGB_DXT1
     assert hap_get_frame_texture_count(frame) == 1
     assert hap_get_frame_texture_chunk_count(frame) == 4
+
+
+def test_roundtrip_hap_hdr():
+    """Hap HDR (BC6H) carries float pixels; quality measured in relative RMSE."""
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+    base = rng.random((1, 1, 3), dtype=np.float32) * 50 + 10
+    t = rng.random((h, w, 1), dtype=np.float32)
+    img = (base * (1.0 + t)).astype(np.float32)
+    frame = encode_frame(img, "hap_hdr", chunk_count=2)
+    assert codec_for_frame(frame).name == "hap_hdr"
+    out = decode_frame(frame, h, w)
+    assert out.dtype == np.float32
+    rel = np.abs(out - img) / np.maximum(img, 1e-3)
+    assert np.sqrt(np.mean(rel**2)) < 0.03
+
+
+def test_roundtrip_hap_r_quality():
+    h, w = 48, 48
+    img4 = np.concatenate(
+        [make_image(h, w, 3, seed=2), np.full((h, w, 1), 200, np.uint8)], axis=-1
+    )
+    frame = encode_frame(img4, "hap_r", chunk_count=4)
+    assert codec_for_frame(frame).name == "hap_r"
+    out = decode_frame(frame, h, w)
+    assert psnr(img4, out) > 38.0
