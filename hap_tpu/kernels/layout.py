@@ -56,14 +56,19 @@ def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray
 
 
 def pack_u8_to_u32(b: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4k) uint8 -> (..., k) uint32, little-endian."""
-    u = b.astype(jnp.uint32).reshape(*b.shape[:-1], -1, 4)
-    return u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16) | (u[..., 3] << 24)
+    """(..., 4k) uint8 -> (..., k) uint32, little-endian.
+
+    Uses bitcast (free — both TPU and CPU backends are little-endian; the
+    shift/or formulation costs several ms at 4K frame sizes)."""
+    import jax
+
+    grouped = b.reshape(*b.shape[:-1], -1, 4)
+    return jax.lax.bitcast_convert_type(grouped, jnp.uint32)
 
 
 def unpack_u32_to_u8(w: jnp.ndarray) -> jnp.ndarray:
-    """(..., k) uint32 -> (..., 4k) uint8, little-endian."""
-    parts = jnp.stack(
-        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF], axis=-1
-    )
-    return parts.astype(jnp.uint8).reshape(*w.shape[:-1], -1)
+    """(..., k) uint32 -> (..., 4k) uint8, little-endian (bitcast)."""
+    import jax
+
+    bytes4 = jax.lax.bitcast_convert_type(w, jnp.uint8)  # (..., k, 4)
+    return bytes4.reshape(*w.shape[:-1], -1)

@@ -181,6 +181,9 @@ def decode_frame_device(
         return jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,)), ok
 
     def dec_complex(_):
+        from hap_tpu.snappy.device import _lit_tag_bytes, _unit_layout
+        from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+
         okc = ok
         okc &= frame[top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
         okc &= frame[top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
@@ -192,17 +195,20 @@ def decode_frame_device(
         okc &= jnp.all(is_comp | (comp_table == CHUNK_COMPRESSOR_NONE))
         okc &= jnp.all(sizes <= bound)
         sizes = jnp.minimum(sizes, bound)
-        positions = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])])
-
-        def body(_, c):
-            win = jax.lax.dynamic_slice(frame, (payload_off + positions[c],), (bound,))
-            return None, win
-
-        _, windows = jax.lax.scan(body, None, jnp.arange(C, dtype=_I32))  # (C, bound)
-        dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
-        raw = windows[:, :S]
-        out = jnp.where(is_comp[:, None], dec, raw)
-        okc &= jnp.all(chunk_ok | ~is_comp)
+        positions = payload_off + jnp.concatenate(
+            [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
+        )
+        U, n_full, tail_b, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
+        out, chunk_ok = decode_streams_from_frame(
+            frame, positions, sizes, is_comp, S, G,
+            preamble_len=len(pre),
+            copy_tag=2 | (63 << 2),
+            lit_tag=int(_lit_tag_bytes(U)[0]),
+            lit_hdr=lit_hdr,
+        )
+        # Compressed streams must carry the expected preamble (the kernel
+        # validates structure from the first tag onward).
+        okc &= jnp.all(chunk_ok)
         return out.reshape(-1), okc
 
     is_raw = compressor == COMPRESSOR_NONE

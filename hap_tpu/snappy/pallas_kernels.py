@@ -119,6 +119,181 @@ def compact_streams(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr"),
+)
+def decode_streams_from_frame(
+    frame: jnp.ndarray,  # (F,) uint8 — whole frame bytes
+    chunk_offsets: jnp.ndarray,  # (C,) int32 — absolute stream starts
+    comp_len: jnp.ndarray,  # (C,) int32
+    is_comp: jnp.ndarray,  # (C,) bool — snappy chunk vs raw chunk
+    S: int,
+    G: int,
+    preamble_len: int,
+    copy_tag: int,
+    lit_tag: int,
+    lit_hdr: int,
+):
+    """Structured-profile decode straight out of the frame buffer.
+
+    Avoids materializing per-chunk (C, bound) windows (a C-step extraction
+    scan costs ~18 ms at 4K): each grid step DMAs its tile's contiguous
+    byte range from the HBM frame into VMEM scratch (chunks are stored in
+    order, so a tile's chunks are contiguous) and walks the streams there.
+    Raw-fallback chunks (hap.c:460-466) are copied through in the same unit
+    loop. Returns ((C, S) uint8, (C,) bool ok).
+    """
+    from hap_tpu.snappy.device import _UNIT
+
+    C0 = chunk_offsets.shape[0]
+    U = _UNIT
+    n_full = S // U
+    tail = S - n_full * U
+    emit = U + lit_hdr
+    n_copy_elems = max(1, U // 64)
+    copy_size = 3 * n_copy_elems
+    # bound on one chunk's stream size (all-literal)
+    bound = preamble_len + n_full * emit + (tail + 2 if tail else 0)
+
+    if C0 % _TC:
+        padc = _TC - C0 % _TC
+        # padded chunks point at offset 0 with len 0 -> flagged not-ok, sliced
+        chunk_offsets = jnp.pad(chunk_offsets, (0, padc))
+        comp_len = jnp.pad(comp_len, (0, padc))
+        is_comp = jnp.pad(is_comp, (0, padc))
+    C = chunk_offsets.shape[0]
+
+    # Tile scratch: worst-case span of _TC in-order chunks + rotate guard.
+    tcb = (_TC * bound) // 128 + 4
+    fblk = -(-frame.shape[0] // 128) + tcb
+    frame_blocks = (
+        jnp.pad(frame, (0, fblk * 128 - frame.shape[0])).astype(_I32).reshape(fblk, 128)
+    )
+    nout = -(-S // 128) + 1
+
+    def kernel(off_ref, len_ref, comp_ref, frame_ref, out_ref, ok_ref, scratch, sem):
+        base_blk = off_ref[0, 0] // 128
+        dma = pltpu.make_async_copy(
+            frame_ref.at[pl.ds(base_blk, tcb), :], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
+        def read_window(cursor):
+            blk = cursor // 128
+            r = cursor - blk * 128
+            win = jnp.concatenate(
+                [scratch[blk, :].reshape(1, 128),
+                 scratch[blk + 1, :].reshape(1, 128),
+                 scratch[blk + 2, :].reshape(1, 128),
+                 jnp.zeros((1, 128), _I32)], axis=1
+            )
+            shift = jnp.where(r == 0, 0, 512 - r)
+            return pltpu.roll(win, shift, 1)
+
+        def chunk_body(c, _):
+            start = off_ref[c, 0] - base_blk * 128
+            is_raw = comp_ref[c, 0] == 0
+
+            def unit_body(u, carry):
+                cursor, okc, prevg = carry
+                win = read_window(cursor)
+                tag = win[0, 0]
+                is_copy = (tag == copy_tag) & jnp.logical_not(is_raw)
+                copy_ok = tag == copy_tag
+                for e in range(n_copy_elems):
+                    copy_ok = (
+                        copy_ok
+                        & (win[0, 3 * e] == copy_tag)
+                        & (win[0, 3 * e + 1] == (G & 0xFF))
+                        & (win[0, 3 * e + 2] == (G >> 8))
+                    )
+                lit_ok = tag == lit_tag
+                if lit_hdr == 2:
+                    lit_ok = lit_ok & (win[0, 1] == (U - 1))
+                okc = okc & (
+                    is_raw | jnp.where(is_copy, copy_ok & (u > 0), lit_ok)
+                )
+                lit = win[:, lit_hdr : lit_hdr + U]
+                cp = jnp.concatenate([prevg] * (U // G), axis=1)
+                unit = jnp.where(is_copy, cp, jnp.where(is_raw, win[:, :U], lit))
+                prevg = unit[:, U - G :]
+                out_ref[c, u, :] = unit[0, :]
+                cursor = cursor + jnp.where(
+                    is_raw, U, jnp.where(is_copy, copy_size, emit)
+                )
+                return cursor, okc, prevg
+
+            # Validate the varint(S) preamble of compressed streams.
+            from hap_tpu.snappy.device import _varint_bytes
+
+            pre_vals = _varint_bytes(S)
+            win0 = read_window(start)
+            pre_ok = jnp.bool_(True)
+            for i, pv in enumerate(pre_vals):
+                pre_ok = pre_ok & (win0[0, i] == int(pv))
+            ok0 = is_raw | pre_ok
+
+            cursor0 = start + jnp.where(is_raw, 0, preamble_len)
+            cursor, okc, prevg = jax.lax.fori_loop(
+                0, n_full, unit_body, (cursor0, ok0, jnp.zeros((1, G), _I32))
+            )
+            if tail:
+                win = read_window(cursor)
+                if tail - 1 < 60:
+                    thdr = 1
+                    tag_ok = win[0, 0] == ((tail - 1) << 2)
+                else:
+                    thdr = 2
+                    tag_ok = (win[0, 0] == (60 << 2)) & (win[0, 1] == tail - 1)
+                okc = okc & (is_raw | tag_ok)
+                th = jnp.where(is_raw, 0, thdr)
+                twin = read_window(cursor + th)
+                tail_padded = jnp.concatenate(
+                    [twin[:, :tail], jnp.zeros((1, U - tail), _I32)], axis=1
+                )
+                out_ref[c, n_full, :] = tail_padded[0, :]
+                cursor = cursor + th + tail
+            okc = okc & (cursor - start == len_ref[c, 0])
+            ok_ref[c, 0] = okc.astype(_I32)
+            return 0
+
+        jax.lax.fori_loop(0, _TC, chunk_body, 0)
+
+    n_units_out = n_full + (1 if tail else 0)
+    out, ok = pl.pallas_call(
+        kernel,
+        grid=(C // _TC,),
+        in_specs=[
+            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TC, n_units_out, U), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, n_units_out, U), _I32),
+            jax.ShapeDtypeStruct((C, 1), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tcb, 128), _I32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(
+        chunk_offsets.astype(_I32).reshape(-1, 1),
+        comp_len.astype(_I32).reshape(-1, 1),
+        is_comp.astype(_I32).reshape(-1, 1),
+        frame_blocks,
+    )
+    out = out.reshape(C, n_units_out * U)[:C0, :S].astype(jnp.uint8)
+    return out, ok[:C0, 0].astype(jnp.bool_)
+
+
+@functools.partial(
     jax.jit, static_argnames=("S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr")
 )
 def decode_streams(
