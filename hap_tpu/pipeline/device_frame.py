@@ -198,17 +198,31 @@ def decode_frame_device(
         positions = payload_off + jnp.concatenate(
             [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
         )
-        U, n_full, tail_b, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
-        out, chunk_ok = decode_streams_from_frame(
-            frame, positions, sizes, is_comp, S, G,
-            preamble_len=len(pre),
-            copy_tag=2 | (63 << 2),
-            lit_tag=int(_lit_tag_bytes(U)[0]),
-            lit_hdr=lit_hdr,
-        )
-        # Compressed streams must carry the expected preamble (the kernel
-        # validates structure from the first tag onward).
-        okc &= jnp.all(chunk_ok)
+        import os
+
+        if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "0") == "1":
+            # Experimental frame-direct DMA kernel (saves the C-step window
+            # extraction, ~18 ms at 4K) — still being hardened on silicon.
+            U, n_full, tail_b, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
+            out, chunk_ok = decode_streams_from_frame(
+                frame, positions, sizes, is_comp, S, G,
+                preamble_len=len(pre),
+                copy_tag=2 | (63 << 2),
+                lit_tag=int(_lit_tag_bytes(U)[0]),
+                lit_hdr=lit_hdr,
+            )
+            okc &= jnp.all(chunk_ok)
+            return out.reshape(-1), okc
+
+        def body(_, c):
+            win = jax.lax.dynamic_slice(frame, (positions[c],), (bound,))
+            return None, win
+
+        _, windows = jax.lax.scan(body, None, jnp.arange(C, dtype=_I32))
+        dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
+        raw = windows[:, :S]
+        out = jnp.where(is_comp[:, None], dec, raw)
+        okc &= jnp.all(chunk_ok | ~is_comp)
         return out.reshape(-1), okc
 
     is_raw = compressor == COMPRESSOR_NONE

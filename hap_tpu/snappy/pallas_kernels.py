@@ -157,8 +157,13 @@ def decode_streams_from_frame(
 
     if C0 % _TC:
         padc = _TC - C0 % _TC
-        # padded chunks point at offset 0 with len 0 -> flagged not-ok, sliced
-        chunk_offsets = jnp.pad(chunk_offsets, (0, padc))
+        # Padded chunks alias the last real chunk's offset so their cursors
+        # stay inside the tile's DMA window (offset 0 would make
+        # start-base negative -> out-of-bounds VMEM access). Their length
+        # check fails -> flagged not-ok -> rows sliced off.
+        chunk_offsets = jnp.concatenate(
+            [chunk_offsets, jnp.broadcast_to(chunk_offsets[-1], (padc,))]
+        )
         comp_len = jnp.pad(comp_len, (0, padc))
         is_comp = jnp.pad(is_comp, (0, padc))
     C = chunk_offsets.shape[0]
