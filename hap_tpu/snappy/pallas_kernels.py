@@ -169,15 +169,18 @@ def decode_streams_from_frame(
     C = chunk_offsets.shape[0]
 
     # Tile scratch: worst-case span of _TC in-order chunks + rotate guard.
-    tcb = (_TC * bound) // 128 + 4
-    fblk = -(-frame.shape[0] // 128) + tcb
+    # +8 because the HBM DMA start row is rounded down to the (8,128) tile
+    # granularity of the int32 layout.
+    tcb = (_TC * bound) // 128 + 4 + 8
+    fblk = (-(-frame.shape[0] // 128) + tcb + 7) // 8 * 8
     frame_blocks = (
         jnp.pad(frame, (0, fblk * 128 - frame.shape[0])).astype(_I32).reshape(fblk, 128)
     )
     nout = -(-S // 128) + 1
 
     def kernel(off_ref, len_ref, comp_ref, frame_ref, out_ref, ok_ref, scratch, sem):
-        base_blk = off_ref[0, 0] // 128
+        # Align the DMA start to the sublane-tile granularity (8 rows).
+        base_blk = pl.multiple_of((off_ref[0, 0] // 1024) * 8, 8)
         dma = pltpu.make_async_copy(
             frame_ref.at[pl.ds(base_blk, tcb), :], scratch, sem
         )
