@@ -127,3 +127,24 @@ def test_large_frame_8byte_headers(rng):
         assert hdr_len == 8  # compressed complex frame over 16MB input
     assert native.decode(frame)[0] == payload
     assert _decode_texture_python(frame, 0) == payload
+
+
+def test_16k_frame_container(rng):
+    """16K-frame scale (README.md:25): a full 16384x8640 Hap Q DXT payload
+    (~141 MB, >16MB sections -> 8-byte headers, large chunk counts) through
+    the native container+snappy path."""
+    w, h = 16384, 8640
+    nbytes = (w // 4) * (h // 4) * 16  # BC3 payload: 141.6 MB
+    payload = np.tile(
+        rng.integers(0, 256, 16, dtype=np.uint8), nbytes // 16
+    ).tobytes()  # compressible at scale
+    assert len(payload) == nbytes
+    frame = native.encode([payload], [TextureFormat.YCoCg_DXT5], [1], [512])
+    assert len(frame) < nbytes  # actually compressed
+    from hap_tpu.container.sections import read_section_header
+
+    hdr_len, sec_len, stype = read_section_header(frame)
+    assert hdr_len == 8 and (stype >> 4) == 0xC
+    assert native.get_chunk_count(frame) == 512
+    out, fmt = native.decode(frame)
+    assert out == payload and fmt == TextureFormat.YCoCg_DXT5
