@@ -125,9 +125,6 @@ def _principal_axis(px: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     return jnp.stack(v, axis=-1)
 
 
-_CODE_WEIGHTS_BC1 = jnp.array([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0], dtype=_F32)
-
-
 def _weights_from_codes_bc1(codes: jnp.ndarray) -> jnp.ndarray:
     """Arithmetic select of the 4 interpolation weights (gather-free)."""
     is1 = (codes == 1).astype(_F32)

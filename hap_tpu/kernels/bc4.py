@@ -29,12 +29,6 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 _F32 = jnp.float32
 
-# Interpolation weight of each code in 8-interp mode: value = (1-w)*a0 + w*a1.
-_CODE_WEIGHTS_BC4 = jnp.array(
-    [0.0, 1.0, 1 / 7, 2 / 7, 3 / 7, 4 / 7, 5 / 7, 6 / 7], dtype=_F32
-)
-
-
 def _palette8(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
     """(N,) int32 endpoint pairs -> (N, 8) int32 palette, mode-dependent."""
     n = a0.shape[0]

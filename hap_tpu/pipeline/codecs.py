@@ -176,7 +176,8 @@ def encode_frame(
     compressor: Compressor = Compressor.SNAPPY,
     n_threads: int = 0,
 ) -> bytes:
-    """Encode one (H, W, C) uint8 image into a Hap frame.
+    """Encode one (H, W, C) image into a Hap frame (uint8 pixels; float32
+    RGB for the hap_hdr codec).
 
     Device: layout -> (YCoCg) -> BCn encode. Host: chunked Snappy + container
     stitch, mirroring HapEncode exactly (hap.c:506-604).
