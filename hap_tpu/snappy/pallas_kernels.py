@@ -178,9 +178,13 @@ def decode_streams_from_frame(
     )
     nout = -(-S // 128) + 1
 
-    def kernel(off_ref, len_ref, comp_ref, frame_ref, out_ref, ok_ref, scratch, sem):
+    def kernel(meta_ref, frame_ref, out_ref, ok_ref, scratch, sem):
+        # meta rows: [offset, comp_len, is_comp] per chunk. Packed into ONE
+        # SMEM operand and ok returned via VMEM: the combination of several
+        # SMEM operands + an SMEM output + a large DMA scratch miscompiles
+        # on this toolchain (worker crash; see tools/bisect2.py).
         # Align the DMA start to the sublane-tile granularity (8 rows).
-        base_blk = pl.multiple_of((off_ref[0, 0] // 1024) * 8, 8)
+        base_blk = pl.multiple_of((meta_ref[0, 0] // 1024) * 8, 8)
         dma = pltpu.make_async_copy(
             frame_ref.at[pl.ds(base_blk, tcb), :], scratch, sem
         )
@@ -200,8 +204,8 @@ def decode_streams_from_frame(
             return pltpu.roll(win, shift, 1)
 
         def chunk_body(c, _):
-            start = off_ref[c, 0] - base_blk * 128
-            is_raw = comp_ref[c, 0] == 0
+            start = meta_ref[c, 0] - base_blk * 128
+            is_raw = meta_ref[c, 2] == 0
 
             def unit_body(u, carry):
                 cursor, okc, prevg = carry
@@ -262,43 +266,44 @@ def decode_streams_from_frame(
                 )
                 out_ref[c, n_full, :] = tail_padded[0, :]
                 cursor = cursor + th + tail
-            okc = okc & (cursor - start == len_ref[c, 0])
-            ok_ref[c, 0] = okc.astype(_I32)
+            okc = okc & (cursor - start == meta_ref[c, 1])
+            ok_ref[c, :] = jnp.full((128,), okc.astype(_I32), _I32)
             return 0
 
         jax.lax.fori_loop(0, _TC, chunk_body, 0)
 
     n_units_out = n_full + (1 if tail else 0)
+    meta = jnp.stack(
+        [
+            chunk_offsets.astype(_I32),
+            comp_len.astype(_I32),
+            is_comp.astype(_I32),
+        ],
+        axis=1,
+    )  # (C, 3)
     out, ok = pl.pallas_call(
         kernel,
         grid=(C // _TC,),
         in_specs=[
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TC, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
             pl.BlockSpec((_TC, n_units_out, U), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TC, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((C, n_units_out, U), _I32),
-            jax.ShapeDtypeStruct((C, 1), _I32),
+            jax.ShapeDtypeStruct((C, 128), _I32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tcb, 128), _I32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
-    )(
-        chunk_offsets.astype(_I32).reshape(-1, 1),
-        comp_len.astype(_I32).reshape(-1, 1),
-        is_comp.astype(_I32).reshape(-1, 1),
-        frame_blocks,
-    )
+    )(meta, frame_blocks)
     out = out.reshape(C, n_units_out * U)[:C0, :S].astype(jnp.uint8)
-    return out, ok[:C0, 0].astype(jnp.bool_)
+    return out, (ok[:C0, 0] != 0)
 
 
 @functools.partial(
