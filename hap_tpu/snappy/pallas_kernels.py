@@ -170,8 +170,10 @@ def decode_streams_from_frame(
 
     # Tile scratch: worst-case span of _TC in-order chunks + rotate guard.
     # +8 because the HBM DMA start row is rounded down to the (8,128) tile
-    # granularity of the int32 layout.
-    tcb = (_TC * bound) // 128 + 4 + 8
+    # granularity of the int32 layout; the row count itself must also be a
+    # multiple of 8 — DMAs into a scratch with a ragged final sublane tile
+    # crash the TPU worker (tools/bisect2.py case E: 77 rows).
+    tcb = ((_TC * bound) // 128 + 4 + 8 + 7) // 8 * 8
     fblk = (-(-frame.shape[0] // 128) + tcb + 7) // 8 * 8
     frame_blocks = (
         jnp.pad(frame, (0, fblk * 128 - frame.shape[0])).astype(_I32).reshape(fblk, 128)
