@@ -200,9 +200,9 @@ def decode_frame_device(
         )
         import os
 
-        if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "0") == "1":
-            # Experimental frame-direct DMA kernel (saves the C-step window
-            # extraction, ~18 ms at 4K) — still being hardened on silicon.
+        if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
+            # Frame-direct DMA kernel: decodes straight out of the frame
+            # buffer, skipping the C-step window-extraction scan.
             U, n_full, tail_b, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
             out, chunk_ok = decode_streams_from_frame(
                 frame, positions, sizes, is_comp, S, G,
