@@ -325,3 +325,270 @@ def bc7_encode_blocks_mode6(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.n
     for t in range(1, 16):
         bits = set_bits(bits, posn, 4, codes[:, t]); posn += 4
     return bits
+
+
+# ---------------------------------------------------------------------------
+# Mode-1 encoder: 2 subsets, RGB 6.6.6 + shared P-bit per subset, 3-bit
+# indices over 64 partition shapes — the mode that carries blocks whose
+# pixels form two distinct color populations (edges, text, UI overlays),
+# which a single line through color space (mode 6) represents poorly.
+# ---------------------------------------------------------------------------
+
+_W3 = WEIGHTS[3]
+
+
+def _masked_principal_axis(px: jnp.ndarray, mask: jnp.ndarray, iters: int = 8):
+    """Principal axis of the masked pixel subset. px (N,16,C); mask (N,16)."""
+    nch = px.shape[-1]
+    m = mask[..., None]
+    cnt = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    mean = jnp.sum(px * m, axis=1) / cnt[:, None]
+    d = (px - mean[:, None, :]) * m  # masked-out pixels contribute zero
+    cov = [
+        [jnp.sum(d[..., i] * d[..., j], axis=1) for j in range(nch)]
+        for i in range(nch)
+    ]
+    v = [sum(jnp.abs(cov[i][j]) for j in range(nch)) + 1e-4 for i in range(nch)]
+    for _ in range(iters):
+        nv = [sum(cov[i][j] * v[j] for j in range(nch)) for i in range(nch)]
+        norm = jax.lax.rsqrt(sum(x * x for x in nv) + 1e-24)
+        v = [x * norm for x in nv]
+    return mean, jnp.stack(v, axis=-1)
+
+
+def _masked_fit_endpoints_ls(px, weights, mask, e0, e1):
+    """Least-squares endpoints over the masked pixels (see bc1 variant)."""
+    one_m = (1.0 - weights) * mask
+    wm = weights * mask
+    alpha = jnp.sum(one_m * (1.0 - weights), axis=1)
+    beta = jnp.sum(one_m * weights, axis=1)
+    gamma = jnp.sum(wm * weights, axis=1)
+    r0 = jnp.sum(one_m[:, :, None] * px, axis=1)
+    r1 = jnp.sum(wm[:, :, None] * px, axis=1)
+    det = alpha * gamma - beta * beta
+    ok = jnp.abs(det) > 1e-4
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    n0 = (gamma[:, None] * r0 - beta[:, None] * r1) * inv_det[:, None]
+    n1 = (alpha[:, None] * r1 - beta[:, None] * r0) * inv_det[:, None]
+    return jnp.where(ok[:, None], n0, e0), jnp.where(ok[:, None], n1, e1)
+
+
+def _quant_667p(e: jnp.ndarray, p: jnp.ndarray):
+    """Quantize (N, 3) float endpoints to 6 bits given the shared P bit.
+
+    Returns (q, reconstructed) where reconstructed applies the decoder's
+    exact rule: v7 = (q << 1) | p, then unquantize depth 7 (_unquant).
+    """
+    v7_ideal = jnp.clip(e, 0.0, 255.0) * (127.0 / 255.0)
+    q = jnp.clip(jnp.round((v7_ideal - p[:, None]) / 2.0), 0, 63).astype(_I32)
+    v7 = (q << 1) | p[:, None]
+    return q, _unquant(v7, 7)
+
+
+def _quant_subset_shared_p(e0: jnp.ndarray, e1: jnp.ndarray):
+    """Choose the shared P bit minimizing both endpoints' joint error.
+
+    Returns (q0, q1, r0, r1, p): 6-bit codes, exact reconstructions, P bit.
+    """
+    cands = []
+    for p in (0, 1):
+        pv = jnp.full(e0.shape[0], p, _I32)
+        q0, r0 = _quant_667p(e0, pv)
+        q1, r1 = _quant_667p(e1, pv)
+        err = jnp.sum((r0.astype(jnp.float32) - e0) ** 2, axis=-1) + jnp.sum(
+            (r1.astype(jnp.float32) - e1) ** 2, axis=-1
+        )
+        cands.append((err, q0, q1, r0, r1, pv))
+    use1 = cands[1][0] < cands[0][0]  # (N,)
+    out = []
+    for a, b in zip(cands[0][1:], cands[1][1:]):
+        sel = use1[:, None] if a.ndim == 2 else use1
+        out.append(jnp.where(sel, b, a))
+    return tuple(out)  # q0, q1, r0, r1, p
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "kmeans_iters"))
+def bc7_encode_blocks_mode1(
+    pixels: jnp.ndarray, refine_iters: int = 1, kmeans_iters: int = 3
+) -> jnp.ndarray:
+    """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 mode-1 blocks.
+
+    Alpha is not representable in mode 1 (decodes to 255); callers that care
+    use bc7_encode_blocks, which folds the alpha error into mode selection.
+
+    Partition choice: 2-means clustering of the block's RGB pixels, then the
+    2-subset partition shape nearest (by Hamming distance, either polarity)
+    to the cluster assignment — one (N,16)x(16,64) matmul, no per-partition
+    fitting. Endpoints: masked PCA + least-squares refinement per subset.
+    """
+    px = pixels[..., :3].astype(jnp.float32)
+    n = px.shape[0]
+
+    # --- 2-means cluster assignment ------------------------------------
+    mean, axis = _masked_principal_axis(px, jnp.ones((n, 16), jnp.float32))
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    med = jnp.median(t, axis=1, keepdims=True)
+    assign = (t > med).astype(jnp.float32)  # (N, 16) in {0, 1}
+    for _ in range(kmeans_iters):
+        c1 = jnp.sum(px * assign[..., None], axis=1) / jnp.maximum(
+            jnp.sum(assign, axis=1), 1.0
+        )[:, None]
+        c0 = jnp.sum(px * (1.0 - assign)[..., None], axis=1) / jnp.maximum(
+            jnp.sum(1.0 - assign, axis=1), 1.0
+        )[:, None]
+        d0 = jnp.sum((px - c0[:, None, :]) ** 2, axis=-1)
+        d1 = jnp.sum((px - c1[:, None, :]) ** 2, axis=-1)
+        assign = (d1 < d0).astype(jnp.float32)
+
+    # --- nearest partition shape (either polarity) ----------------------
+    pt = jnp.asarray(PARTITIONS2, jnp.float32)  # (64, 16)
+    ones_p = jnp.sum(pt, axis=1)  # (64,)
+    overlap = assign @ pt.T  # (N, 64)
+    ones_a = jnp.sum(assign, axis=1, keepdims=True)
+    ham = ones_a + ones_p[None, :] - 2.0 * overlap
+    ham = jnp.minimum(ham, 16.0 - ham)  # complement polarity
+    partition = jnp.argmin(ham, axis=1).astype(_I32)  # (N,)
+
+    onehot = jax.nn.one_hot(partition, 64, dtype=jnp.float32)
+    subset = jnp.round(onehot @ pt).astype(_I32)  # (N, 16) in {0,1}
+    anchor2 = jnp.round(onehot @ jnp.asarray(ANCHOR2_2, jnp.float32)).astype(
+        _I32
+    )  # (N,)
+
+    masks = [(subset == s).astype(jnp.float32) for s in (0, 1)]
+
+    # --- per-subset endpoint seed (masked PCA extremes) ------------------
+    seeds = []
+    for m in masks:
+        smean, saxis = _masked_principal_axis(px, m)
+        st = jnp.sum((px - smean[:, None, :]) * saxis[:, None, :], axis=-1)
+        stm = jnp.where(m > 0, st, jnp.inf)
+        stx = jnp.where(m > 0, st, -jnp.inf)
+        tmin = jnp.min(stm, axis=1)
+        tmax = jnp.max(stx, axis=1)
+        tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+        tmax = jnp.where(jnp.isfinite(tmax), tmax, 0.0)
+        seeds.append(
+            (smean + saxis * tmin[:, None], smean + saxis * tmax[:, None])
+        )
+
+    w3f = jnp.asarray(_W3, jnp.float32) / 64.0  # (8,)
+
+    def select_codes(recon):
+        """recon: [(r0, r1)] per subset (int32 (N,3)) -> codes (N,16)."""
+        # Per-texel endpoint pair by subset membership.
+        e0 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][0][:, None, :], recon[1][0][:, None, :]
+        ).astype(jnp.float32)
+        e1 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][1][:, None, :], recon[1][1][:, None, :]
+        ).astype(jnp.float32)
+        pal = (
+            e0[:, :, None, :] * (1.0 - w3f)[None, None, :, None]
+            + e1[:, :, None, :] * w3f[None, None, :, None]
+        )  # (N, 16, 8, 3)
+        d = px[:, :, None, :] - pal
+        return jnp.argmin(jnp.sum(d * d, axis=-1), axis=-1).astype(_I32)
+
+    def quantize_all(ends):
+        return [_quant_subset_shared_p(e0, e1) for (e0, e1) in ends]
+
+    qs = quantize_all(seeds)
+    codes = select_codes([(q[2], q[3]) for q in qs])
+
+    ends = seeds
+    for _ in range(refine_iters):
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 8):
+            w = jnp.where(codes == k, float(_W3[k]) / 64.0, w)
+        new_ends = []
+        for s, m in enumerate(masks):
+            e0n, e1n = _masked_fit_endpoints_ls(
+                px, w, m, ends[s][0], ends[s][1]
+            )
+            new_ends.append((e0n, e1n))
+        ends = new_ends
+        qs = quantize_all(ends)
+        codes = select_codes([(q[2], q[3]) for q in qs])
+
+    # --- anchor fix-ups: anchor texel's index MSB must be 0 --------------
+    q_sub = [list(q) for q in qs]  # per subset: [q0, q1, r0, r1, p]
+    texel = jnp.arange(16, dtype=_I32)[None, :]
+    anchors = [jnp.zeros(n, _I32), anchor2]
+    for s in (0, 1):
+        a_code = jnp.sum(
+            jnp.where(texel == anchors[s][:, None], codes, 0), axis=1
+        )
+        swap = a_code >= 4
+        in_s = subset == s
+        codes = jnp.where(swap[:, None] & in_s, 7 - codes, codes)
+        q0, q1, r0, r1, p = q_sub[s]
+        q_sub[s][0] = jnp.where(swap[:, None], q1, q0)
+        q_sub[s][1] = jnp.where(swap[:, None], q0, q1)
+
+    # --- pack -------------------------------------------------------------
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w, b = start // 32, start % 32
+        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 2, jnp.full(n, 2, _I32))  # mode 1 marker (bit 1)
+    bits = set_bits(bits, 2, 6, partition)
+    posn = 8
+    # Endpoint order: R x4 (s0e0, s0e1, s1e0, s1e1), then G x4, then B x4.
+    for c in range(3):
+        for s in (0, 1):
+            for e in (0, 1):
+                bits = set_bits(bits, posn, 6, q_sub[s][e][:, c])
+                posn += 6
+    bits = set_bits(bits, posn, 1, q_sub[0][4]); posn += 1
+    bits = set_bits(bits, posn, 1, q_sub[1][4]); posn += 1
+    assert posn == 82
+
+    # Index field: per-texel width 2 at anchors (texel 0 and anchor2), 3
+    # elsewhere; bit positions are per-block dynamic.
+    is_anchor = (texel == 0) | (texel == anchor2[:, None])
+    widths = jnp.where(is_anchor, 2, 3)
+    offs = 82 + jnp.concatenate(
+        [jnp.zeros((n, 1), _I32), jnp.cumsum(widths[:, :-1], axis=1)], axis=1
+    )  # (N, 16); max start 82+45-2 = 125
+    vals = codes.astype(_U32)
+    for wword in (2, 3):
+        rel = offs - 32 * wword  # (N, 16)
+        shift_l = jnp.clip(rel, 0, 31).astype(_U32)
+        shift_r = jnp.clip(-rel, 0, 31).astype(_U32)
+        lo = jnp.where((rel >= 0) & (rel < 32), vals << shift_l, 0)
+        spill = jnp.where((rel < 0) & (rel > -3), vals >> shift_r, 0)
+        contrib = jnp.bitwise_or(lo, spill).astype(_U32)
+        acc = jnp.zeros(n, _U32)
+        for ti in range(16):
+            acc = acc | contrib[:, ti]
+        bits = bits.at[:, wword].set(bits[:, wword] | acc)
+    return bits
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
+    """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 blocks, adaptive mode.
+
+    Encodes each block in mode 6 (single subset, RGBA) and mode 1 (two
+    subsets, RGB) and keeps the lower-SSE encoding — exact decoder
+    semantics (_decode_mode) are used for the comparison, so the chosen
+    block is the one that truly reconstructs better.
+    """
+    w6 = bc7_encode_blocks_mode6(pixels, refine_iters=refine_iters)
+    w1 = bc7_encode_blocks_mode1(pixels, refine_iters=refine_iters)
+    pxi = pixels.astype(_I32)
+
+    def sse(words, mode):
+        r = jnp.clip(_decode_mode(words.astype(_U32), mode), 0, 255)
+        d = r - pxi
+        return jnp.sum(d * d, axis=(1, 2))
+
+    use1 = (sse(w1, 1) < sse(w6, 6))[:, None]
+    return jnp.where(use1, w1, w6)

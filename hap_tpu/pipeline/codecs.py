@@ -27,7 +27,7 @@ from hap_tpu.kernels.bc6h import (
     f32_to_half_bits,
     half_bits_to_f32,
 )
-from hap_tpu.kernels.bc7 import bc7_decode_blocks, bc7_encode_blocks_mode6
+from hap_tpu.kernels.bc7 import bc7_decode_blocks, bc7_encode_blocks
 from hap_tpu.kernels.layout import blocks_to_image, image_to_blocks
 from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
 
@@ -90,8 +90,8 @@ def _dec_hap_a(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 @jax.jit
 def _enc_hap_r(img: jnp.ndarray) -> jnp.ndarray:
-    """Hap R: BC7 (mode-6 encoder)."""
-    return bc7_encode_blocks_mode6(image_to_blocks(img))
+    """Hap R: BC7 (adaptive mode-1/mode-6 encoder)."""
+    return bc7_encode_blocks(image_to_blocks(img))
 
 
 @partial(jax.jit, static_argnames=("h", "w"))

@@ -60,9 +60,9 @@ def _encode_blocks(codec: str, img: jnp.ndarray) -> jnp.ndarray:
         chan = img if img.ndim == 2 else img[..., -1]
         return bc4_encode_blocks(image_to_blocks(chan))
     if codec == "hap_r":
-        from hap_tpu.kernels.bc7 import bc7_encode_blocks_mode6
+        from hap_tpu.kernels.bc7 import bc7_encode_blocks
 
-        return bc7_encode_blocks_mode6(image_to_blocks(img))
+        return bc7_encode_blocks(image_to_blocks(img))
     if codec == "hap_hdr":
         from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11, f32_to_half_bits
 

@@ -84,3 +84,79 @@ def test_bc7_mode6_roundtrip_oracle_agrees(rng):
     got = np.asarray(bc7_decode_blocks(jnp.asarray(words)))
     want = scalar_ref_bc7.bc7_decode(raw)
     np.testing.assert_array_equal(got, want)
+
+
+def make_two_population_blocks(rng, count):
+    """Blocks split into two distinct color populations (edge-like)."""
+    ca = rng.integers(0, 256, (count, 1, 3))
+    cb = rng.integers(0, 256, (count, 1, 3))
+    # Left/right split plus per-pixel noise; alpha constant 255.
+    pattern = np.zeros((1, 16, 1))
+    pattern[0, :, 0] = np.tile([0, 0, 1, 1], 4)
+    rgb = ca + pattern * (cb - ca) + rng.integers(-6, 7, (count, 16, 3))
+    px = np.clip(rgb, 0, 255)
+    alpha = np.full((count, 16, 1), 255)
+    return np.concatenate([px, alpha], -1).astype(np.uint8)
+
+
+def test_bc7_mode1_structure(rng):
+    from hap_tpu.kernels.bc7 import bc7_encode_blocks_mode1
+
+    px = rng.integers(0, 256, (64, 16, 4), dtype=np.uint8)
+    words = np.asarray(bc7_encode_blocks_mode1(jnp.asarray(px)))
+    byte0 = words[:, 0] & 0x3
+    assert (byte0 == 0x2).all()  # lowest set bit = bit 1 -> mode 1
+
+
+def test_bc7_mode1_roundtrip_oracle_agrees(rng):
+    from hap_tpu.kernels.bc7 import bc7_encode_blocks_mode1
+
+    px = make_two_population_blocks(rng, 128)
+    words = np.asarray(bc7_encode_blocks_mode1(jnp.asarray(px)))
+    raw = words.astype("<u4").tobytes()
+    got = np.asarray(bc7_decode_blocks(jnp.asarray(words)))
+    want = scalar_ref_bc7.bc7_decode(raw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bc7_mode1_random_pack_valid(rng):
+    # Random content exercises every partition/anchor/P-bit path; the
+    # JAX decoder and the scalar oracle must agree on the emitted bits.
+    from hap_tpu.kernels.bc7 import bc7_encode_blocks_mode1
+
+    px = rng.integers(0, 256, (512, 16, 4), dtype=np.uint8)
+    words = np.asarray(bc7_encode_blocks_mode1(jnp.asarray(px)))
+    raw = words.astype("<u4").tobytes()
+    got = np.asarray(bc7_decode_blocks(jnp.asarray(words)))
+    want = scalar_ref_bc7.bc7_decode(raw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bc7_adaptive_beats_mode6_on_two_populations(rng):
+    from hap_tpu.kernels.bc7 import bc7_encode_blocks
+
+    px = make_two_population_blocks(rng, 256)
+    w_ad = bc7_encode_blocks(jnp.asarray(px))
+    w_m6 = bc7_encode_blocks_mode6(jnp.asarray(px))
+    out_ad = np.asarray(bc7_decode_blocks(w_ad)).astype(np.float64)
+    out_m6 = np.asarray(bc7_decode_blocks(w_m6)).astype(np.float64)
+    sse_ad = np.sum((out_ad - px) ** 2)
+    sse_m6 = np.sum((out_m6 - px) ** 2)
+    assert sse_ad < sse_m6 * 0.6, (sse_ad, sse_m6)
+    mse = sse_ad / px.size
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 38.0, f"adaptive BC7 PSNR {psnr:.1f} dB"
+
+
+def test_bc7_adaptive_never_worse_than_mode6(rng):
+    # Mode selection is by exact decoder SSE, so adaptive <= mode6 per block.
+    from hap_tpu.kernels.bc7 import bc7_encode_blocks
+
+    px = rng.integers(0, 256, (256, 16, 4), dtype=np.uint8)
+    w_ad = bc7_encode_blocks(jnp.asarray(px))
+    w_m6 = bc7_encode_blocks_mode6(jnp.asarray(px))
+    out_ad = np.asarray(bc7_decode_blocks(w_ad)).astype(np.int64)
+    out_m6 = np.asarray(bc7_decode_blocks(w_m6)).astype(np.int64)
+    sse_ad = np.sum((out_ad - px) ** 2, axis=(1, 2))
+    sse_m6 = np.sum((out_m6 - px) ** 2, axis=(1, 2))
+    assert (sse_ad <= sse_m6).all()
