@@ -30,11 +30,13 @@ def image_to_blocks(img: jnp.ndarray) -> jnp.ndarray:
     if (ph, pw) != (h, w):
         img = jnp.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     bh, bw = ph // 4, pw // 4
-    blocks = (
-        img.reshape(bh, 4, bw, 4, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(bh * bw, 16, c)
-    )
+    # Four static row-slices + stack instead of a 5-D transpose: the XLA
+    # TPU lowering of the uint8 transpose costs ~6 ms at 4K while this
+    # formulation is ~0.1 ms (tools/profile_pack_variants.py) — each slice
+    # is a contiguous copy and the stack is a concatenate on a new axis.
+    x = img.reshape(bh, 4, pw, c)
+    rows = [x[:, r].reshape(bh, bw, 4, c) for r in range(4)]
+    blocks = jnp.stack(rows, axis=2).reshape(bh * bw, 16, c)
     return blocks[..., 0] if squeeze else blocks
 
 
@@ -46,11 +48,11 @@ def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray
     n, sixteen, c = blocks.shape
     ph, pw = padded_dims(height, width)
     bh, bw = ph // 4, pw // 4
-    img = (
-        blocks.reshape(bh, bw, 4, 4, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(ph, pw, c)
-    )
+    # Row-slices + stack (see image_to_blocks): ~0 ms at 4K vs ~5.6 ms for
+    # the 5-D uint8 transpose lowering.
+    x = blocks.reshape(bh, bw, 4, 4, c)
+    rows = [x[:, :, r].reshape(bh, pw, c) for r in range(4)]
+    img = jnp.stack(rows, axis=1).reshape(ph, pw, c)
     img = img[:height, :width]
     return img[..., 0] if squeeze else img
 

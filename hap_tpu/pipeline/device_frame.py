@@ -152,19 +152,28 @@ def encode_frame_device(
     return frame, frame_len.astype(_I32)
 
 
-@partial(jax.jit, static_argnames=("input_bytes", "chunk_count", "fmt_id", "G"))
+@partial(
+    jax.jit,
+    static_argnames=("input_bytes", "chunk_count", "fmt_id", "G", "out_words"),
+)
 def decode_frame_device(
     frame: jnp.ndarray,
     input_bytes: int,
     chunk_count: int,
     fmt_id: int,
     G: int,
+    out_words: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """((fmax,) uint8, static expectations) -> ((input_bytes,) uint8, ok).
 
     Accepts frames in the fixed layout both this framework and the reference
     encoder emit. ok=False (with best-effort output) for foreign layouts or
     non-structured snappy chunk streams — callers then use the host path.
+
+    ``out_words`` returns the payload as (input_bytes//4,) uint32 LE words
+    instead of bytes: the frame-direct kernel packs them from its int32
+    byte-lanes with shifts (~free), skipping the expensive uint8 bitcast
+    relayout that the BCn decoders would otherwise pay to re-assemble words.
     """
     C = chunk_count
     S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
@@ -177,8 +186,14 @@ def decode_frame_device(
     compressor = (type_byte >> 4) & 0xF
     ok = (type_byte & 0xF) == fmt_id
 
+    def _to_words(payload_u8):
+        from hap_tpu.kernels.layout import pack_u8_to_u32
+
+        return pack_u8_to_u32(payload_u8.reshape(-1, 4)).reshape(-1)
+
     def dec_raw(_):
-        return jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,)), ok
+        payload = jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,))
+        return (_to_words(payload) if out_words else payload), ok
 
     def dec_complex(_):
         from hap_tpu.snappy.device import _lit_tag_bytes, _unit_layout
@@ -210,6 +225,7 @@ def decode_frame_device(
                 copy_tag=2 | (63 << 2),
                 lit_tag=int(_lit_tag_bytes(U)[0]),
                 lit_hdr=lit_hdr,
+                out_words=out_words,
             )
             okc &= jnp.all(chunk_ok)
             return out.reshape(-1), okc
@@ -223,7 +239,8 @@ def decode_frame_device(
         raw = windows[:, :S]
         out = jnp.where(is_comp[:, None], dec, raw)
         okc &= jnp.all(chunk_ok | ~is_comp)
-        return out.reshape(-1), okc
+        out = out.reshape(-1)
+        return (_to_words(out) if out_words else out), okc
 
     is_raw = compressor == COMPRESSOR_NONE
     is_complex = compressor == COMPRESSOR_COMPLEX

@@ -28,7 +28,6 @@ from hap_tpu.kernels.bc4 import bc4_decode_blocks, bc4_encode_blocks
 from hap_tpu.kernels.layout import (
     blocks_to_image,
     image_to_blocks,
-    pack_u8_to_u32,
     unpack_u32_to_u8,
 )
 from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
@@ -154,9 +153,11 @@ def _decode_texture_pipeline(frame, height, width, codec, fmt, chunk_count):
     g = bytes_per_block(fmt)
     nbytes = dxt_payload_bytes(width, height, fmt)
     cc = plan_chunks(height, width, fmt, chunk_count)
-    payload, ok = decode_frame_device(frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+    words_flat, ok = decode_frame_device(
+        frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g, out_words=True
+    )
     wpb = bytes_per_block(fmt) // 4
-    words = pack_u8_to_u32(payload.reshape(-1, 4 * wpb))
+    words = words_flat.reshape(-1, wpb)
     img = _decode_blocks(codec, words, height, width)
     return img, ok
 

@@ -120,7 +120,9 @@ def compact_streams(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr"),
+    static_argnames=(
+        "S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr", "out_words"
+    ),
 )
 def decode_streams_from_frame(
     frame: jnp.ndarray,  # (F,) uint8 — whole frame bytes
@@ -133,6 +135,7 @@ def decode_streams_from_frame(
     copy_tag: int,
     lit_tag: int,
     lit_hdr: int,
+    out_words: bool = False,
 ):
     """Structured-profile decode straight out of the frame buffer.
 
@@ -141,7 +144,11 @@ def decode_streams_from_frame(
     byte range from the HBM frame into VMEM scratch (chunks are stored in
     order, so a tile's chunks are contiguous) and walks the streams there.
     Raw-fallback chunks (hap.c:460-466) are copied through in the same unit
-    loop. Returns ((C, S) uint8, (C,) bool ok).
+    loop. Returns ((C, S) uint8, (C,) bool ok), or with ``out_words`` set
+    ((C, S//4) uint32 little-endian words, (C,) bool ok) — packed from the
+    kernel's int32 byte-lanes with shifts, which is ~free, while the
+    uint8-cast + bitcast route costs ~15 ms per 4K frame
+    (tools/profile_pack_variants.py).
     """
     from hap_tpu.snappy.device import _UNIT
 
@@ -304,6 +311,11 @@ def decode_streams_from_frame(
         ],
         interpret=_interpret(),
     )(meta, frame_blocks)
+    if out_words:
+        assert S % 4 == 0 and U % 4 == 0
+        y = out.reshape(C, n_units_out * U // 4, 4).astype(jnp.uint32)
+        words = y[..., 0] | (y[..., 1] << 8) | (y[..., 2] << 16) | (y[..., 3] << 24)
+        return words[:C0, : S // 4], (ok[:C0, 0] != 0)
     out = out.reshape(C, n_units_out * U)[:C0, :S].astype(jnp.uint8)
     return out, (ok[:C0, 0] != 0)
 

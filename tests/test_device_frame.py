@@ -248,3 +248,24 @@ def test_device_pipeline_hap_hdr_roundtrip():
     out = np.asarray(out)
     rel = np.abs(out - img) / np.maximum(img, 1e-3)
     assert np.sqrt(np.mean(rel**2)) < 0.03
+
+
+def test_device_decode_word_path_matches_bytes(rng):
+    """decode_frame_device(out_words=True) == packed bytes path, all layouts."""
+    import jax.numpy as jnp
+
+    from hap_tpu.pipeline.device_frame import decode_frame_device, encode_frame_device
+    from hap_tpu.kernels.layout import pack_u8_to_u32
+
+    G = 16
+    for nbytes, cc, compressible in [(16384, 8, True), (4096, 4, False)]:
+        if compressible:
+            payload = np.tile(rng.integers(0, 256, G, dtype=np.uint8), nbytes // G)
+        else:
+            payload = rng.integers(0, 256, nbytes, dtype=np.uint8)
+        frame, flen = encode_frame_device(jnp.asarray(payload), cc, 0xF, G)
+        by, ok_b = decode_frame_device(frame, nbytes, cc, 0xF, G)
+        wo, ok_w = decode_frame_device(frame, nbytes, cc, 0xF, G, out_words=True)
+        assert bool(ok_b) and bool(ok_w)
+        want = np.asarray(pack_u8_to_u32(by.reshape(-1, 4)).reshape(-1))
+        np.testing.assert_array_equal(np.asarray(wo), want)
