@@ -1,0 +1,253 @@
+"""General Snappy decode on TPU: accepts ANY conforming stream.
+
+The structured-profile kernels (pallas_kernels.py) cover every stream this
+framework emits; this kernel closes the remaining interop gap — frames
+produced by foreign encoders (the reference ecosystem's five encoder
+applications, or google/snappy on arbitrary content, hap.c:453) decode
+on-device too, instead of routing to the host codec.
+
+Byte-serial LZ parsing on a vector machine: the element walk is a
+``lax.while_loop`` per chunk; every byte-granular access is the proven
+window pattern (dynamic middle-dim block indexing + int32-lane
+``pltpu.roll``); back-reference copies resolve overlap (offset < length)
+by shift-doubling — six static rounds extend the period to >= 64 lanes —
+so a copy element costs O(1) vector ops regardless of offset or length.
+Malformed streams flag per-chunk ok=False with every access clamped
+in-bounds (a Pallas fault kills the TPU worker for ~10 min; CLAUDE.md §4).
+
+Format (Snappy format description, normative ref [2] of the Hap spec,
+HapVideoDRAFT.md:146): stream = varint(uncompressed length) + elements.
+element = literal (tag 0b00; 1-5 byte header, length up to 2^32) |
+copy1 (0b01; 11-bit offset, len 4-11) | copy2 (0b10; 16-bit LE offset,
+len 1-64) | copy4 (0b11; 32-bit LE offset, len 1-64). Copy offsets must be
+>= 1 and <= bytes already produced; overlapping copies replicate earlier
+output with period = offset (the RLE idiom).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32 = jnp.int32
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _read_window(ref, c, cursor, nblk):
+    """(1, 512) int32 window with stream byte ``cursor`` of chunk c at lane 0.
+
+    Reads three adjacent 128-lane blocks (clamped in-bounds) and rotates the
+    target byte to lane 0; lanes [0, 384-cursor%128) are valid stream bytes.
+    """
+    blk = jnp.clip(cursor // 128, 0, nblk - 3)
+    r = jnp.clip(cursor - blk * 128, 0, 127)
+    win = jnp.concatenate(
+        [
+            ref[c, blk, :].reshape(1, 128),
+            ref[c, blk + 1, :].reshape(1, 128),
+            ref[c, blk + 2, :].reshape(1, 128),
+            jnp.zeros((1, 128), _I32),
+        ],
+        axis=1,
+    )
+    shift = jnp.where(r == 0, 0, 512 - r)
+    return pltpu.roll(win, shift, 1)
+
+
+def _merge_store(out_ref, c, dst, vec512, m, nout):
+    """Write lanes [0, m) of vec512 to output bytes [dst, dst+m); m <= 128.
+
+    m == 0 writes nothing (the merge mask is empty) but must still be safe
+    for arbitrary dst, hence the clamps.
+    """
+    dstc = jnp.clip(dst, 0, nout * 128 - 256)
+    blk = dstc // 128
+    r = dstc - blk * 128
+    placed = pltpu.roll(vec512, r, 1)[:, :256]
+    lane = jax.lax.broadcasted_iota(_I32, (1, 256), 1)
+    mask = (lane >= r) & (lane < r + m)
+    cur = jnp.concatenate(
+        [out_ref[c, blk, :].reshape(1, 128), out_ref[c, blk + 1, :].reshape(1, 128)],
+        axis=1,
+    )
+    merged = jnp.where(mask, placed, cur)
+    out_ref[c, blk, :] = merged[0, :128]
+    out_ref[c, blk + 1, :] = merged[0, 128:]
+
+
+def _pick_tc(nin: int, nout: int) -> int:
+    """Chunks per grid step bounded by a ~10 MB VMEM budget (int32 lanes)."""
+    for tc in (8, 4, 2, 1):
+        if tc * (nin + nout) * 128 * 4 <= 10 * 2**20:
+            return tc
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("S_max",))
+def decode_any_streams(
+    comp: jnp.ndarray,  # (C, B) uint8 — one Snappy stream per row
+    comp_len: jnp.ndarray,  # (C,) int32 — true stream lengths
+    out_len: jnp.ndarray,  # (C,) int32 — expected uncompressed lengths
+    S_max: int,  # static bound: every out_len <= S_max
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode C arbitrary conforming Snappy streams -> ((C, S_max) u8, ok).
+
+    ok[c] is False for any malformed stream (bad varint, offset 0 or beyond
+    written output, element overrunning input or output, trailing garbage,
+    or preamble != out_len[c]); its output row is then undefined but every
+    access stays in-bounds.
+    """
+    C0, B = comp.shape
+    nin = -(-B // 128) + 3
+    nout = -(-S_max // 128) + 2
+    tc = _pick_tc(nin, nout)
+    if C0 % tc:
+        padc = tc - C0 % tc
+        comp = jnp.pad(comp, ((0, padc), (0, 0)))
+        comp_len = jnp.pad(comp_len, (0, padc))
+        out_len = jnp.pad(out_len, (0, padc))
+    C = comp.shape[0]
+    comp_blocks = (
+        jnp.pad(comp, ((0, 0), (0, nin * 128 - B))).astype(_I32).reshape(C, nin, 128)
+    )
+    meta = jnp.stack([comp_len.astype(_I32), out_len.astype(_I32)], axis=1)
+
+    def kernel(meta_ref, comp_ref, out_ref, ok_ref):
+        def chunk_body(c, _):
+            clen = meta_ref[c, 0]
+            ulen = meta_ref[c, 1]
+
+            # --- varint(uncompressed length) preamble, 1-5 bytes ----------
+            win0 = _read_window(comp_ref, c, jnp.int32(0), nin)
+            b = [win0[0, i] for i in range(5)]
+            val = b[0] & 127
+            hdr = jnp.int32(1)
+            inc = b[0] >= 128  # next byte belongs to the varint
+            ok0 = jnp.bool_(True)
+            for i in range(1, 5):
+                # Final byte may only carry bits < 2^31 (int32 arithmetic;
+                # larger lengths can never match ulen <= S_max anyway).
+                if i == 4:
+                    ok0 = ok0 & (~inc | (b[4] < 8))
+                val = val + jnp.where(inc, (b[i] & 127) << (7 * i), 0)
+                hdr = hdr + inc.astype(_I32)
+                inc = inc & (b[i] >= 128)
+            ok0 = ok0 & ~inc  # must terminate within 5 bytes
+            ok0 = ok0 & (val == ulen) & (hdr <= clen) & (ulen <= S_max)
+
+            # --- element walk ---------------------------------------------
+            def cond(carry):
+                cursor, op, okc = carry
+                return okc & (cursor < clen)
+
+            def body(carry):
+                cursor, op, okc = carry
+                win = _read_window(comp_ref, c, cursor, nin)
+                tag = win[0, 0]
+                b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
+                ttype = tag & 3
+                len6 = tag >> 2
+                is_lit = ttype == 0
+
+                lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
+                ext = (
+                    b1
+                    + jnp.where(len6 >= 61, b2 << 8, 0)
+                    + jnp.where(len6 >= 62, b3 << 16, 0)
+                    + jnp.where(len6 >= 63, b4 << 24, 0)
+                )  # may wrap negative for absurd lengths -> rejected below
+                lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
+
+                cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
+                cp_off = jnp.where(
+                    ttype == 1,
+                    ((tag >> 5) << 8) | b1,
+                    jnp.where(
+                        ttype == 2,
+                        b1 | (b2 << 8),
+                        b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+                    ),
+                )
+                cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+
+                elen = jnp.where(is_lit, lit_len, cp_len)
+                ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+                in_need = ehdr + jnp.where(is_lit, lit_len, 0)
+                oke = (
+                    okc
+                    & (elen >= 1)
+                    & (in_need >= 1)
+                    & (cursor + in_need <= clen)
+                    & (op + elen <= ulen)
+                    & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
+                )
+
+                # Literal: stream bytes -> output, 128-byte pieces.
+                lit_n = jnp.where(oke & is_lit, lit_len, 0)
+
+                def lbody(k):
+                    m = jnp.minimum(128, lit_n - k)
+                    w = _read_window(comp_ref, c, cursor + lit_hdr + k, nin)
+                    _merge_store(out_ref, c, op + k, w, m, nout)
+                    return k + 128
+
+                jax.lax.while_loop(lambda k: k < lit_n, lbody, jnp.int32(0))
+
+                # Copy: read back-reference window from the output written so
+                # far, extend its period to >= 64 lanes by shift-doubling,
+                # store once. Lanes >= cp_off of the raw window are garbage
+                # (unwritten output) and are fully overwritten by round 1.
+                src = jnp.maximum(op - cp_off, 0)
+                wsrc = _read_window(out_ref, c, src, nout)
+                v = wsrc[:, :256]
+                valid = jnp.clip(cp_off, 1, 64)
+                lane = jax.lax.broadcasted_iota(_I32, (1, 256), 1)
+                for _ in range(6):
+                    v = jnp.where(lane >= valid, pltpu.roll(v, valid, 1), v)
+                    valid = jnp.minimum(valid * 2, 128)
+                m_cp = jnp.where(oke & ~is_lit, cp_len, 0)
+                v512 = jnp.concatenate([v, jnp.zeros((1, 256), _I32)], axis=1)
+                _merge_store(out_ref, c, op, v512, m_cp, nout)
+
+                cursor = jnp.where(oke, cursor + in_need, cursor)
+                op = jnp.where(oke, op + elen, op)
+                return cursor, op, oke
+
+            cursor, op, okc = jax.lax.while_loop(
+                cond, body, (hdr, jnp.int32(0), ok0)
+            )
+            okc = okc & (cursor == clen) & (op == ulen)
+            ok_ref[c, 0] = okc.astype(_I32)
+            return 0
+
+        jax.lax.fori_loop(0, meta_ref.shape[0], chunk_body, 0)
+
+    out, ok = pl.pallas_call(
+        kernel,
+        grid=(C // tc,),
+        in_specs=[
+            pl.BlockSpec((tc, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tc, nin, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, nout, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, nout, 128), _I32),
+            jax.ShapeDtypeStruct((C, 1), _I32),
+        ),
+        interpret=_interpret(),
+    )(meta, comp_blocks)
+    return (
+        out.reshape(C, nout * 128)[:C0, :S_max].astype(jnp.uint8),
+        ok[:C0, 0].astype(jnp.bool_),
+    )
