@@ -196,7 +196,6 @@ def decode_frame_device(
         return (_to_words(payload) if out_words else payload), ok
 
     def dec_complex(_):
-        from hap_tpu.snappy.device import _lit_tag_bytes, _unit_layout
         from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
 
         okc = ok
@@ -218,14 +217,8 @@ def decode_frame_device(
         if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
             # Frame-direct DMA kernel: decodes straight out of the frame
             # buffer, skipping the C-step window-extraction scan.
-            U, n_full, tail_b, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
             out, chunk_ok = decode_streams_from_frame(
-                frame, positions, sizes, is_comp, S, G,
-                preamble_len=len(pre),
-                copy_tag=2 | (63 << 2),
-                lit_tag=int(_lit_tag_bytes(U)[0]),
-                lit_hdr=lit_hdr,
-                out_words=out_words,
+                frame, positions, sizes, is_comp, S, G, out_words=out_words
             )
             okc &= jnp.all(chunk_ok)
             return out.reshape(-1), okc

@@ -5,33 +5,39 @@ Byte-serial LZ parsing is the worst fit for a vector machine (SURVEY.md §7
 Snappy format — every stream is fully conforming (any spec-compliant
 decoder, including the reference's google-snappy, decodes it bit-exactly),
 but its element structure is chosen so that both emission and decoding
-vectorize across chunks:
+vectorize: the chunk payload is processed in 1024-byte units — one full
+(8, 128) VPU tile per sequential kernel step.
 
-* The chunk payload is processed in 128-byte units. A unit is emitted as
-  two back-to-back ``copy2(offset=G, len=64)`` elements (6 bytes; G = the
-  DXT block size, so overlapping copies continue the G-periodic run — the
-  standard Snappy RLE idiom) when it equals the preceding G bytes tiled,
-  else as one extended literal (2-byte tag + 128 bytes).
-* Both directions run as Pallas kernels (snappy/pallas_kernels.py): aligned
-  VMEM vector traffic + dynamic lane rotates, sequential per-chunk unit
-  walks — ~0.7 GB/s per v5e core vs ~0.1 GB/s for XLA gather/scatter
-  lowerings of the same algorithm (kept here as impl="xla").
+Unit flavors (sizes are static given S and G = the DXT block size):
 
-The decoder VALIDATES structure as it goes and returns a per-chunk ok flag;
-streams produced by other encoders (arbitrary element mix) fail validation
-cleanly and are routed to the host/native codec — the fast path covers
-every frame this framework emits plus all raw-fallback chunks.
+* ``literal``: extended literal, 3-byte tag (61-coded length 1024) + bytes.
+* ``copy``: 16 back-to-back ``copy2(offset=G, len=64)`` elements (48 bytes;
+  overlapping copies continue a G-periodic run — the standard Snappy RLE
+  idiom). Valid for units after the first.
+* ``seeded``: for the FIRST unit of a G-periodic chunk (no history yet):
+  a G-byte literal seed + copy elements covering the remaining 1024-G
+  bytes. Keeps flat/G-periodic chunks ~21x compressible from byte 0.
+* the sub-unit ``tail`` (S mod 1024 bytes, a multiple of G) has the same
+  three flavors with sizes derived from the tail length.
+
+Both directions run as Pallas kernels (snappy/pallas_kernels.py): each
+sequential step moves a whole (8, 128) tile with unaligned dynamic
+multi-row VMEM accesses + dynamic lane rotates (probed supported on this
+toolchain: tools/probe_wideunit.py). The decoder VALIDATES structure as it
+goes and returns a per-chunk ok flag; streams produced by other encoders
+fail validation cleanly and are routed to the general-stream device kernel
+or the host codec.
 
 Format reference: Snappy format description (normative ref [2] of the Hap
 spec, HapVideoDRAFT.md:23,146). Stream = varint(uncompressed length) +
 tagged elements; copy-2 tag = 2|((len-1)<<2), offset LE16; literal tag =
-(len-1)<<2 for len<=60 else 60-coded with trailing length byte.
+(len-1)<<2 for len<=60, else 60/61-coded with 1/2 trailing length bytes.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +45,8 @@ import numpy as np
 
 _I32 = jnp.int32
 _U8 = jnp.uint8
+
+_UNIT = 1024  # output bytes per full unit (one (8,128) VPU tile)
 
 
 def _varint_bytes(value: int) -> np.ndarray:
@@ -51,36 +59,174 @@ def _varint_bytes(value: int) -> np.ndarray:
             return np.array(out, dtype=np.uint8)
 
 
-_UNIT = 128  # output bytes per unit (two copy2 elements, or one literal)
-_COPY_ELEMS = _UNIT // 64  # copy2 length caps at 64
-_COPY_SIZE = 3 * _COPY_ELEMS  # bytes emitted for a copy unit
-
-
-def _unit_layout(S: int, G: int):
-    """Static per-chunk layout: unit count, tail bytes, emission bound.
-
-    A unit covers _UNIT output bytes. Copy units emit _COPY_ELEMS
-    back-to-back ``copy2(offset=G, len=64)`` elements (overlapping copies
-    continue the G-periodic run — the standard Snappy RLE idiom); literal
-    units emit one extended-length literal (2-byte tag + _UNIT bytes).
-    """
-    U = _UNIT
-    n_full = S // U
-    tail = S - n_full * U  # multiple of G, < U
-    lit_hdr = 2  # literal tag for len 128 (60-coded + 1 length byte)
-    emit_max = U + lit_hdr  # worst per-unit emission
-    pre = _varint_bytes(S)
-    tail_hdr = (1 if tail - 1 < 60 else 2) if tail else 0
-    bound = len(pre) + n_full * emit_max + (tail + tail_hdr if tail else 0)
-    return U, n_full, tail, lit_hdr, emit_max, pre, bound
-
-
 def _lit_tag_bytes(length: int) -> np.ndarray:
+    """Literal tag bytes for a literal of ``length`` payload bytes."""
     n = length - 1
     if n < 60:
         return np.array([n << 2], dtype=np.uint8)
-    assert n < 256
-    return np.array([60 << 2, n], dtype=np.uint8)
+    if n < 256:
+        return np.array([60 << 2, n], dtype=np.uint8)
+    assert n < 65536
+    return np.array([61 << 2, n & 0xFF, n >> 8], dtype=np.uint8)
+
+
+def _copy_run_bytes(L: int, G: int) -> np.ndarray:
+    """copy2 elements (offset=G) covering L output bytes. L % G == 0, L > 0."""
+    nel = -(-L // 64)
+    lens = [64] * (nel - 1) + [L - 64 * (nel - 1)]
+    return np.concatenate(
+        [np.array([2 | ((l - 1) << 2), G & 0xFF, G >> 8], np.uint8) for l in lens]
+    )
+
+
+class Profile(NamedTuple):
+    """Static stream-structure facts for a (S, G) chunk shape."""
+
+    U: int
+    n_full: int            # number of full 1024-byte units
+    tail: int              # S - n_full*U (multiple of G, < U)
+    pre: np.ndarray        # varint(S)
+    lit_hdr: int           # 3: full-unit literal tag length
+    emit_max: int          # U + lit_hdr (worst per-unit emission)
+    copy_pat: np.ndarray   # full-unit copy element bytes (48)
+    seed_pat: np.ndarray   # seeded unit: tag + copies AFTER the G seed bytes
+    seed_size: int         # 1 + G + len(seed_pat)-1 ... total seeded emission
+    tail_hdr: np.ndarray   # tail literal tag bytes (empty if no tail)
+    tail_lit_size: int
+    tail_copy_pat: np.ndarray
+    tail_seed_pat: np.ndarray
+    tail_seed_size: int
+    bound: int             # worst-case stream size
+
+
+def profile(S: int, G: int) -> Profile:
+    U = _UNIT
+    assert S % G == 0 and G in (8, 16)
+    n_full = S // U
+    tail = S - n_full * U
+    pre = _varint_bytes(S)
+    lit_hdr = len(_lit_tag_bytes(U))  # 3
+    emit_max = U + lit_hdr
+    copy_pat = _copy_run_bytes(U, G)  # 48 bytes
+    # seeded: [lit tag for G bytes][G seed bytes][copies covering U-G]
+    seed_tag = np.array([(G - 1) << 2], np.uint8)
+    seed_copies = _copy_run_bytes(U - G, G)
+    seed_pat = np.concatenate([seed_tag, seed_copies])  # seed bytes go between
+    seed_size = 1 + G + len(seed_copies)
+    if tail:
+        tail_hdr = _lit_tag_bytes(tail)
+        tail_lit_size = len(tail_hdr) + tail
+        tail_copy_pat = _copy_run_bytes(tail, G)
+        if tail > G:
+            t_seed_copies = _copy_run_bytes(tail - G, G)
+            tail_seed_pat = np.concatenate([seed_tag, t_seed_copies])
+            tail_seed_size = 1 + G + len(t_seed_copies)
+        else:
+            tail_seed_pat = np.zeros(0, np.uint8)
+            tail_seed_size = tail_lit_size  # unused
+    else:
+        tail_hdr = np.zeros(0, np.uint8)
+        tail_lit_size = 0
+        tail_copy_pat = np.zeros(0, np.uint8)
+        tail_seed_pat = np.zeros(0, np.uint8)
+        tail_seed_size = 0
+    bound = len(pre) + n_full * emit_max + tail_lit_size
+    return Profile(
+        U, n_full, tail, pre, lit_hdr, emit_max, copy_pat, seed_pat, seed_size,
+        tail_hdr, tail_lit_size, tail_copy_pat, tail_seed_pat, tail_seed_size,
+        bound,
+    )
+
+
+def _unit_layout(S: int, G: int):
+    """Back-compat shim: (U, n_full, tail, lit_hdr, emit_max, pre, bound)."""
+    p = profile(S, G)
+    return p.U, p.n_full, p.tail, p.lit_hdr, p.emit_max, p.pre, p.bound
+
+
+def _periodic(units: jnp.ndarray, ref_g: jnp.ndarray) -> jnp.ndarray:
+    """units (..., k, G) == ref_g (..., 1, G) tiled -> (...) bool."""
+    return jnp.all(units == ref_g, axis=(-2, -1))
+
+
+def _build_emissions(data: jnp.ndarray, S: int, G: int):
+    """(C, S) uint8 -> (emit (C,n_units,emit_max) u8, sizes (C,n_units) i32).
+
+    n_units = n_full + (1 if tail else 0). Emission bytes beyond each unit's
+    size are zero/garbage and masked out by the compactor.
+    """
+    p = profile(S, G)
+    C = data.shape[0]
+    U, n_full, tail = p.U, p.n_full, p.tail
+    emits, sizes = [], []
+
+    if n_full:
+        units = data[:, : n_full * U].reshape(C, n_full, U // G, G)
+        prevg = jnp.concatenate(
+            [units[:, :1, :1, :], units[:, :-1, -1:, :]], axis=1
+        )  # (C, n_full, 1, G); unit0 slot holds its own first group (seed test)
+        is_run = _periodic(units, prevg)  # (C, n_full)
+
+        lit_tag = jnp.asarray(_lit_tag_bytes(U))
+        lit_emit = jnp.concatenate(
+            [
+                jnp.broadcast_to(lit_tag, (C, n_full, p.lit_hdr)).astype(_U8),
+                units.reshape(C, n_full, U),
+            ],
+            axis=2,
+        )  # (C, n_full, emit_max)
+        copy_emit = jnp.zeros((C, n_full, p.emit_max), _U8).at[
+            :, :, : len(p.copy_pat)
+        ].set(jnp.asarray(p.copy_pat))
+        emit = jnp.where(is_run[:, :, None], copy_emit, lit_emit)
+        size = jnp.where(is_run, len(p.copy_pat), p.emit_max).astype(_I32)
+
+        # Unit 0: no history — seeded flavor when self-periodic.
+        seed = units[:, 0, 0, :]  # (C, G)
+        seed_emit = jnp.zeros((C, p.emit_max), _U8)
+        seed_emit = seed_emit.at[:, :1].set(jnp.asarray(p.seed_pat[:1]))
+        seed_emit = seed_emit.at[:, 1 : 1 + G].set(seed)
+        seed_emit = seed_emit.at[:, 1 + G : 1 + G + len(p.seed_pat) - 1].set(
+            jnp.asarray(p.seed_pat[1:])
+        )
+        e0 = jnp.where(is_run[:, 0, None], seed_emit, lit_emit[:, 0])
+        s0 = jnp.where(is_run[:, 0], p.seed_size, p.emit_max).astype(_I32)
+        emit = jnp.concatenate([e0[:, None], emit[:, 1:]], axis=1)
+        size = jnp.concatenate([s0[:, None], size[:, 1:]], axis=1)
+        emits.append(emit)
+        sizes.append(size)
+
+    if tail:
+        tdata = data[:, n_full * U :]  # (C, tail)
+        tunits = tdata.reshape(C, tail // G, G)
+        t_emit = jnp.zeros((C, p.emit_max), _U8)
+        t_emit = t_emit.at[:, : len(p.tail_hdr)].set(jnp.asarray(p.tail_hdr))
+        t_emit = t_emit.at[:, len(p.tail_hdr) : len(p.tail_hdr) + tail].set(tdata)
+        t_size = jnp.full((C,), p.tail_lit_size, _I32)
+        if n_full:
+            prevg_t = data[:, n_full * U - G : n_full * U].reshape(C, 1, G)
+            t_run = _periodic(tunits, prevg_t)
+            tc_emit = jnp.zeros((C, p.emit_max), _U8).at[
+                :, : len(p.tail_copy_pat)
+            ].set(jnp.asarray(p.tail_copy_pat))
+            t_emit = jnp.where(t_run[:, None], tc_emit, t_emit)
+            t_size = jnp.where(t_run, len(p.tail_copy_pat), t_size)
+        elif tail > G:
+            t_run = _periodic(tunits, tunits[:, :1, :])
+            ts_emit = jnp.zeros((C, p.emit_max), _U8)
+            ts_emit = ts_emit.at[:, :1].set(jnp.asarray(p.tail_seed_pat[:1]))
+            ts_emit = ts_emit.at[:, 1 : 1 + G].set(tunits[:, 0, :])
+            ts_emit = ts_emit.at[
+                :, 1 + G : 1 + G + len(p.tail_seed_pat) - 1
+            ].set(jnp.asarray(p.tail_seed_pat[1:]))
+            t_emit = jnp.where(t_run[:, None], ts_emit, t_emit)
+            t_size = jnp.where(t_run, p.tail_seed_size, t_size)
+        emits.append(t_emit[:, None])
+        sizes.append(t_size[:, None])
+
+    emit = jnp.concatenate(emits, axis=1)
+    size = jnp.concatenate(sizes, axis=1)
+    return emit, size
 
 
 @partial(jax.jit, static_argnames=("S", "G", "impl"))
@@ -91,188 +237,128 @@ def snappy_encode_chunks(
 
     Every output stream is a conforming Snappy encoding of its row.
     impl="pallas" compacts the unit emissions with the Pallas kernel
-    (vector stores at scalar offsets); impl="xla" uses a scatter (slow on
-    TPU — ~8 ns/element — kept as a portable reference path).
+    (tile stores at scalar offsets); impl="xla" uses a scatter (slow on
+    TPU — ~8 ns/element — kept as a portable reference path). Both produce
+    byte-identical streams.
     """
     C = data.shape[0]
-    U, n_full, tail, lit_hdr, emit_max, pre, bound = _unit_layout(S, G)
-    P = len(pre)
-
-    units = data[:, : n_full * U].reshape(C, n_full, U // G, G)
-    # Preceding G bytes of unit u = last group of unit u-1 (u>=1).
-    prevg = jnp.concatenate(
-        [jnp.zeros((C, 1, G), _U8), units[:, :-1, -1, :]], axis=1
-    )  # (C, n_full, G)
-    is_copy = jnp.all(units == prevg[:, :, None, :], axis=(2, 3))
-    is_copy = is_copy.at[:, 0].set(False)  # no history for the first unit
-
-    # Build per-unit emissions (C, n_full, emit_max).
-    lit_tag = jnp.asarray(_lit_tag_bytes(U))  # (lit_hdr,)
-    copy_bytes = jnp.asarray(
-        np.tile(np.array([2 | (63 << 2) & 0xFF, G & 0xFF, G >> 8], dtype=np.uint8),
-                _COPY_ELEMS)
-    )  # _COPY_ELEMS x copy2(offset=G, len=64)
-    lit_emit = jnp.concatenate(
-        [
-            jnp.broadcast_to(lit_tag, (C, n_full, lit_hdr)),
-            units.reshape(C, n_full, U),
-        ],
-        axis=2,
-    )  # (C, n_full, emit_max)
-    copy_emit = jnp.zeros((C, n_full, emit_max), _U8).at[:, :, : _COPY_SIZE].set(
-        copy_bytes
-    )
-    emit = jnp.where(is_copy[:, :, None], copy_emit, lit_emit)
-    sizes = jnp.where(is_copy, _COPY_SIZE, emit_max).astype(_I32)  # (C, n_full)
-
-    if tail:
-        tail_tag = jnp.asarray(_lit_tag_bytes(tail))
-        tail_emit = jnp.zeros((C, 1, emit_max), _U8)
-        tail_emit = tail_emit.at[:, 0, : len(tail_tag)].set(tail_tag)
-        tail_emit = tail_emit.at[:, 0, len(tail_tag) : len(tail_tag) + tail].set(
-            data[:, n_full * U :]
-        )
-        emit = jnp.concatenate([emit, tail_emit], axis=1)
-        sizes = jnp.concatenate(
-            [sizes, jnp.full((C, 1), tail + len(tail_tag), _I32)], axis=1
-        )
+    p = profile(S, G)
+    P = len(p.pre)
+    emit, sizes = _build_emissions(data, S, G)
     n_units = emit.shape[1]
-
-    # Assemble each chunk's stream at its per-chunk cursor positions.
     positions = P + jnp.concatenate(
         [jnp.zeros((C, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
-    )  # (C, n_units)
+    )
     comp_len = positions[:, -1] + sizes[:, -1]
 
     if impl == "pallas":
-        from hap_tpu.snappy.pallas_kernels import _WPAD, compact_streams
+        from hap_tpu.snappy.pallas_kernels import compact_streams
 
-        emissions = jnp.pad(emit, ((0, 0), (0, 0), (0, _WPAD - emit_max)))
-        out = compact_streams(emissions, positions, bound)
-        out = out.at[:, :P].set(jnp.asarray(pre)[None, :])
+        out = compact_streams(emit, positions, sizes, p.bound)
+        out = out.at[:, :P].set(jnp.asarray(p.pre)[None, :])
         return out, comp_len
 
-    within = jnp.arange(emit_max, dtype=_I32)
-    idx = positions[:, :, None] + within[None, None, :]  # (C, n_units, emit_max)
+    within = jnp.arange(p.emit_max, dtype=_I32)
+    idx = positions[:, :, None] + within[None, None, :]
     valid = within[None, None, :] < sizes[:, :, None]
-    idx = jnp.where(valid, idx, bound + 1)  # dropped by scatter mode="drop"
-    rows = jnp.broadcast_to(
-        jnp.arange(C, dtype=_I32)[:, None, None], idx.shape
-    )
-    out = jnp.zeros((C, bound), _U8)
-    out = out.at[:, :P].set(jnp.asarray(pre)[None, :])
+    idx = jnp.where(valid, idx, p.bound + 1)
+    rows = jnp.broadcast_to(jnp.arange(C, dtype=_I32)[:, None, None], idx.shape)
+    out = jnp.zeros((C, p.bound), _U8)
+    out = out.at[:, :P].set(jnp.asarray(p.pre)[None, :])
     out = out.at[rows, idx].set(emit, mode="drop")
     return out, comp_len
 
 
-@partial(jax.jit, static_argnames=("S", "G", "units_per_step", "impl"))
+def _window(comp: jnp.ndarray, cursor: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Per-row dynamic windows: comp (C,B), cursor (C,) -> (C,width)."""
+    B = comp.shape[1]
+    idx = jnp.minimum(cursor[:, None] + jnp.arange(width, dtype=_I32)[None, :], B - 1)
+    return jnp.take_along_axis(comp, idx, axis=1)
+
+
+@partial(jax.jit, static_argnames=("S", "G", "impl"))
 def snappy_decode_chunks(
     comp: jnp.ndarray, comp_len: jnp.ndarray, S: int, G: int,
-    units_per_step: int = 16, impl: str = "pallas",
+    impl: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """((C, B) uint8 streams, (C,) lengths) -> ((C, S) uint8, (C,) ok bool).
 
-    Lockstep structured decode. ok[c] is False when stream c is valid Snappy
-    but not this framework's structured profile (or malformed) — the caller
-    falls back to the host codec for those chunks.
-
-    Per-row gathers cost ~1 ms each on TPU regardless of width, so each scan
-    step fetches a window covering ``units_per_step`` worst-case units and
-    peels the units out of it with static-slice where-chains (pure VPU work).
+    Lockstep structured decode. ok[c] is False when stream c is valid
+    Snappy but not this framework's structured profile (or malformed) —
+    the caller falls back to the general kernel / host codec for those.
     """
-    C, B = comp.shape
-    U, n_full, tail, lit_hdr, emit_max, pre, _ = _unit_layout(S, G)
-    P = len(pre)
-    lit_tag = int(_lit_tag_bytes(U)[0])
-    copy_tag = 2 | (63 << 2)  # copy2 with len 64; _COPY_ELEMS of them per unit
-
-    ok0 = jnp.all(comp[:, :P] == jnp.asarray(pre)[None, :], axis=1)
-
     if impl == "pallas":
         from hap_tpu.snappy.pallas_kernels import decode_streams
 
-        out, ok = decode_streams(
-            comp, comp_len, S, G,
-            preamble_len=P, copy_tag=copy_tag, lit_tag=lit_tag, lit_hdr=lit_hdr,
-        )
-        return out, ok & ok0
+        return decode_streams(comp, comp_len, S, G)
 
-    K = max(1, min(units_per_step, n_full))
-    n_steps = -(-n_full // K)  # ceil
-    win_w = K * emit_max
-    window_idx = jnp.arange(win_w, dtype=_I32)
+    # Portable XLA reference: one unit per scan step, windowed gathers.
+    p = profile(S, G)
+    C, B = comp.shape
+    U, n_full, tail = p.U, p.n_full, p.tail
+    P = len(p.pre)
+    ok = jnp.all(comp[:, :P] == jnp.asarray(p.pre)[None, :], axis=1)
+    cursor = jnp.full((C,), P, _I32)
+    outs = []
+    prevg = jnp.zeros((C, G), _U8)
 
-    def step(carry, blk):
-        cursor, out, prevg, ok = carry
-        idx = jnp.minimum(cursor[:, None] + window_idx[None, :], B - 1)
-        win = jnp.take_along_axis(comp, idx, axis=1)  # (C, K*emit_max)
+    def check_pat(win, off, pat):
+        pat = jnp.asarray(pat)
+        return jnp.all(win[:, off : off + pat.shape[0]] == pat[None, :], axis=1)
 
-        units = []
-        # Per-chunk offset of unit j inside the window: 3a + emit_max*b with
-        # a+b == j, tracked as a running where-chained sub-window.
-        off_options = [0]  # possible offsets for unit 0
-        n_copies_before = jnp.zeros((C,), _I32)
-        for j in range(K):
-            u_global = blk * K + j
-            valid = u_global < n_full
-            # Select this unit's emit_max-wide sub-window: with a_copies copy
-            # units and (j - a_copies) literal units before it in this window,
-            # it starts at 3*a_copies + emit_max*(j - a_copies).
-            sub = None
-            for a_copies in range(j + 1):
-                o = _COPY_SIZE * a_copies + emit_max * (j - a_copies)
-                cand = win[:, o : o + emit_max]
-                if sub is None:
-                    sub = cand
-                else:
-                    sub = jnp.where((n_copies_before == a_copies)[:, None], cand, sub)
-            tag = sub[:, 0]
-            is_copy = (tag == copy_tag) & valid
-            copy_ok = jnp.ones_like(is_copy)
-            for e in range(_COPY_ELEMS):
-                copy_ok = (
-                    copy_ok
-                    & (sub[:, 3 * e] == copy_tag)
-                    & (sub[:, 3 * e + 1] == (G & 0xFF))
-                    & (sub[:, 3 * e + 2] == (G >> 8))
-                )
-            lit_ok = tag == lit_tag
-            if lit_hdr == 2:
-                lit_ok = lit_ok & (sub[:, 1] == (U - 1))
-            ok = ok & jnp.where(
-                valid, jnp.where(is_copy, copy_ok, lit_ok), True
+    lit_tag = jnp.asarray(_lit_tag_bytes(U))
+
+    for u in range(n_full):
+        win = _window(comp, cursor, p.emit_max)
+        tag = win[:, 0]
+        lit_ok = check_pat(win, 0, _lit_tag_bytes(U))
+        lit = win[:, p.lit_hdr : p.lit_hdr + U]
+        if u == 0:
+            is_run = tag == int(p.seed_pat[0])
+            run_ok = check_pat(win, 0, p.seed_pat[:1]) & check_pat(
+                win, 1 + G, p.seed_pat[1:]
             )
-            lit = sub[:, lit_hdr : lit_hdr + U]
-            cp = jnp.tile(prevg, (1, U // G))
-            unit = jnp.where(is_copy[:, None], cp, lit)
-            units.append(unit)
-            prevg = jnp.where(valid, unit[:, -G:], prevg)
-            n_copies_before = n_copies_before + is_copy.astype(_I32)
-            cursor = cursor + jnp.where(
-                valid, jnp.where(is_copy, _COPY_SIZE, U + lit_hdr), 0
-            )
-        block_out = jnp.concatenate(units, axis=1)  # (C, K*U)
-        out = jax.lax.dynamic_update_slice(out, block_out, (0, blk * K * U))
-        return (cursor, out, prevg, ok), None
-
-    out0 = jnp.zeros((C, n_steps * K * U), _U8)
-    prev0 = jnp.zeros((C, G), _U8)
-    cursor0 = jnp.full((C,), P, _I32)
-    (cursor, out, _, ok), _ = jax.lax.scan(
-        step, (cursor0, out0, prev0, ok0), jnp.arange(n_steps, dtype=_I32)
-    )
-    out = out[:, : n_full * U]
+            seed = win[:, 1 : 1 + G]
+            run_unit = jnp.tile(seed, (1, U // G))
+            adv = p.seed_size
+        else:
+            is_run = tag == int(p.copy_pat[0])
+            run_ok = check_pat(win, 0, p.copy_pat)
+            run_unit = jnp.tile(prevg, (1, U // G))
+            adv = len(p.copy_pat)
+        ok = ok & jnp.where(is_run, run_ok, lit_ok)
+        unit = jnp.where(is_run[:, None], run_unit, lit)
+        prevg = unit[:, U - G :]
+        cursor = cursor + jnp.where(is_run, adv, p.emit_max)
+        outs.append(unit)
 
     if tail:
-        ttag = _lit_tag_bytes(tail)
-        idx = jnp.minimum(
-            cursor[:, None] + jnp.arange(len(ttag) + tail, dtype=_I32)[None, :],
-            B - 1,
-        )
-        win = jnp.take_along_axis(comp, idx, axis=1)
-        ok = ok & jnp.all(win[:, : len(ttag)] == jnp.asarray(ttag)[None, :], axis=1)
-        out = jnp.concatenate([out, win[:, len(ttag) :]], axis=1)
-        cursor = cursor + len(ttag) + tail
+        win = _window(comp, cursor, p.tail_lit_size)
+        tag = win[:, 0]
+        lit_ok = check_pat(win, 0, p.tail_hdr)
+        lit = win[:, len(p.tail_hdr) : len(p.tail_hdr) + tail]
+        if n_full:
+            is_run = tag == int(p.tail_copy_pat[0])
+            run_ok = check_pat(win, 0, p.tail_copy_pat)
+            run_unit = jnp.tile(prevg, (1, -(-tail // G)))[:, :tail]
+            adv = len(p.tail_copy_pat)
+        elif tail > G:
+            is_run = tag == int(p.tail_seed_pat[0])
+            run_ok = check_pat(win, 0, p.tail_seed_pat[:1]) & check_pat(
+                win, 1 + G, p.tail_seed_pat[1:]
+            )
+            seed = win[:, 1 : 1 + G]
+            run_unit = jnp.tile(seed, (1, tail // G))
+            adv = p.tail_seed_size
+        else:
+            is_run = jnp.zeros((C,), jnp.bool_)
+            run_ok = jnp.zeros((C,), jnp.bool_)
+            run_unit = lit
+            adv = 0
+        ok = ok & jnp.where(is_run, run_ok, lit_ok)
+        outs.append(jnp.where(is_run[:, None], run_unit, lit))
+        cursor = cursor + jnp.where(is_run, adv, p.tail_lit_size)
 
     ok = ok & (cursor == comp_len)
+    out = jnp.concatenate(outs, axis=1) if outs else jnp.zeros((C, 0), _U8)
     return out, ok

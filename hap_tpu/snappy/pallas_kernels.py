@@ -1,27 +1,34 @@
-"""Pallas TPU kernels for the structured-Snappy byte plane.
+"""Pallas TPU kernels for the structured-Snappy byte plane (wide units).
 
 XLA's gather/scatter lowering costs ~8 ns per element on TPU, which caps
 byte-shuffling at ~0.1 GB/s — hopeless for the compaction and cursor-walk at
-the heart of a byte codec. These kernels use what the hardware does well:
-lane-aligned VMEM vector loads/stores plus dynamic lane rotates
-(``pltpu.roll``), with sequential per-chunk unit loops.
+the heart of a byte codec. These kernels move one full (8, 128) VPU tile
+(1024 bytes) per sequential step: unaligned dynamic multi-row VMEM loads and
+stores plus dynamic lane rotates, all probed supported on this toolchain
+(tools/probe_wideunit.py).
 
 Mosaic constraints shape the design (probed on v5e):
-* vector accesses must be 128-lane aligned, and dynamic *lane* offsets are
-  rejected even when provably aligned — so streams live as (chunk, block,
-  128) refs and every byte-granular access is: dynamic middle-dim indexing
-  of two adjacent 128-lane blocks + dynamic rotate + masked merge;
+* vector lane offsets must be static — byte-granular positioning is
+  (dynamic multi-row slice) + (dynamic lane rotate) + (row-pair select);
 * dynamic rotates work on int32 lanes (uint8 rotates crash the compiler) ->
   one byte per int32 lane inside the kernels, uint8<->int32 at the XLA
   boundary;
-* scalars (positions, lengths, flags) live in SMEM.
+* no vector reductions inside kernels: validation mismatches accumulate
+  into a per-chunk (1, 128) vector written to the ok output; the lane
+  reduce happens in XLA after the kernel;
+* scalars (positions, lengths, flags) live in SMEM; the combination of
+  several SMEM operands + an SMEM output + a large DMA scratch miscompiles
+  on this toolchain (worker crash; tools/bisect2.py) — so decode packs its
+  metadata into ONE SMEM operand and returns ok via VMEM.
 
 Kernels:
 * compact_streams — encode-side: place each unit's emission at its byte
-  position in the chunk stream (in-order writes; each padded 128-byte store
-  is healed by the next unit's store).
-* decode_streams  — decode-side: walk the structured tag stream per chunk
-  (copy2(offset=G,len=U) or one literal per unit), validating as it goes.
+  position in the chunk stream (read-modify-write row-window merges).
+* decode_streams_from_frame — decode-side: DMA a tile's contiguous chunk
+  range from the HBM frame into VMEM scratch, then walk the structured
+  stream per chunk, one 1024-byte unit per step (profile: snappy/device.py).
+* decode_streams — wrapper over decode_streams_from_frame for (C, B)
+  per-chunk stream arrays.
 
 Both fall back to interpret mode off-TPU (tests run them on CPU).
 """
@@ -32,12 +39,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _I32 = jnp.int32
 
-_WPAD = 256  # padded emission width (lanes == bytes)
 _TC = 8  # chunks per grid step
 
 
@@ -45,59 +52,113 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _lane256():
-    return jax.lax.broadcasted_iota(_I32, (1, 256), 1)
+def _lane128():
+    return jax.lax.broadcasted_iota(_I32, (1, 128), 1)
 
 
-def _to_blocks(x: jnp.ndarray, guard_blocks: int = 2) -> jnp.ndarray:
-    """(C, B) uint8 -> (C, nblk, 128) int32 with trailing guard blocks."""
-    C, B = x.shape
-    nblk = -(-B // 128) + guard_blocks
-    x = jnp.pad(x, ((0, 0), (0, nblk * 128 - B)))
-    return x.astype(_I32).reshape(C, nblk, 128)
+def _read_at(ref, cursor, nrows):
+    """Bytes [cursor, cursor + nrows*128) of a (rows, 128) byte-lane ref.
+
+    One unaligned dynamic (nrows+1)-row load + one dynamic lane rotate +
+    one row-pair select.
+    """
+    blk = cursor // 128
+    r = cursor - blk * 128
+    a = ref[pl.ds(blk, nrows + 1), :]
+    rolled = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
+    return jnp.where(_lane128() < 128 - r, rolled[:-1], rolled[1:])
+
+
+def _shift_static(w, k, nrows):
+    """(m,128) window at byte p -> (nrows,128) window at byte p+k, static k."""
+    if k == 0:
+        return w[:nrows]
+    rolled = pltpu.roll(w, 128 - k, 1)
+    return jnp.where(_lane128() < 128 - k, rolled[:nrows], rolled[1 : nrows + 1])
+
+
+def _pat_rows(entries) -> np.ndarray:
+    """Static validation patterns as a (2*n, 128) int32 matrix.
+
+    Each entry is a list of (offset, bytes) pieces combined into one row;
+    row i holds the expected byte values, row n+i the coverage mask.
+    (Pallas kernels cannot capture vector constants — these are an input.)
+    """
+    n = len(entries)
+    vals = np.zeros((n, 128), np.int32)
+    masks = np.zeros((n, 128), np.int32)
+    for i, pieces in enumerate(entries):
+        for off, pat in pieces:
+            vals[i, off : off + len(pat)] = pat
+            masks[i, off : off + len(pat)] = 1
+    return np.concatenate([vals, masks], axis=0)
+
+
+def _mismatch(w, pat_ref, n_pat: int, row: int, applicable) -> jnp.ndarray:
+    """(1,128) int32: nonzero lanes where row 0 of ``w`` deviates from
+    pattern ``row`` of the pattern matrix — only counted when
+    ``applicable``."""
+    bad = pat_ref[n_pat + row : n_pat + row + 1, :] * (
+        w[0:1, :] != pat_ref[row : row + 1, :]
+    ).astype(_I32)
+    return jnp.where(applicable, bad, 0)
+
+
+def _tile_g(row_g, g):
+    """(1, G) int32 -> (8, 128) G-periodic tile."""
+    row = jnp.concatenate([row_g] * (128 // g), axis=1)
+    return jnp.broadcast_to(row, (8, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def compact_streams(
-    emissions: jnp.ndarray,  # (C, n_units, _WPAD) uint8; true bytes lead
+    emissions: jnp.ndarray,  # (C, n_units, emit_max) uint8; true bytes lead
     positions: jnp.ndarray,  # (C, n_units) int32 byte offsets in the stream
+    sizes: jnp.ndarray,      # (C, n_units) int32 emission sizes
     out_width: int,
 ) -> jnp.ndarray:
     """Scatter-free stream compaction: returns (C, out_width) uint8."""
-    C0, n_units, w = emissions.shape
-    assert w == _WPAD
+    C0, n_units, emit_max = emissions.shape
+    erows = -(-emit_max // 128)
     if C0 % _TC:
         padc = _TC - C0 % _TC
         emissions = jnp.pad(emissions, ((0, padc), (0, 0), (0, 0)))
         positions = jnp.pad(positions, ((0, padc), (0, 0)))
+        sizes = jnp.pad(sizes, ((0, padc), (0, 0)))
     C = emissions.shape[0]
-    emissions = emissions.astype(_I32)
-    nblk = -(-out_width // 128) + 3
+    emit_blocks = (
+        jnp.pad(emissions, ((0, 0), (0, 0), (0, erows * 128 - emit_max)))
+        .astype(_I32)
+        .reshape(C, n_units * erows, 128)
+    )
+    nblk = (-(-out_width // 128) + erows + 9) // 8 * 8
+    meta = jnp.concatenate([positions, sizes], axis=1).astype(_I32)  # (C, 2n)
 
-    def kernel(pos_ref, emit_ref, out_ref):
+    def kernel(meta_ref, emit_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
+        lane = _lane128()
+        widx = (
+            jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 1)
+        )
 
         def chunk_body(c, _):
             def unit_body(u, _):
-                p = pos_ref[c, u]
-                blk = p // 128
-                r = p - blk * 128
-                e = emit_ref[c, u, :].reshape(1, _WPAD)
-                e512 = jnp.concatenate(
-                    [e, jnp.zeros((1, 512 - _WPAD), _I32)], axis=1
+                pos = meta_ref[c, u]
+                size = meta_ref[c, n_units + u]
+                blk = pos // 128
+                r = pos - blk * 128
+                e = emit_ref[c, pl.ds(u * erows, erows), :]
+                er = pltpu.roll(e, r, 1)
+                zrow = jnp.zeros((1, 128), _I32)
+                placed = jnp.where(
+                    lane >= r,
+                    jnp.concatenate([er, zrow], axis=0),
+                    jnp.concatenate([zrow, er], axis=0),
                 )
-                rot = pltpu.roll(e512, r, 1)[:, :384]
-                lane = jax.lax.broadcasted_iota(_I32, (1, 384), 1)
-                mask = (lane >= r) & (lane < r + _WPAD)
-                win = jnp.concatenate(
-                    [out_ref[c, blk, :].reshape(1, 128),
-                     out_ref[c, blk + 1, :].reshape(1, 128),
-                     out_ref[c, blk + 2, :].reshape(1, 128)], axis=1
-                )
-                merged = jnp.where(mask, rot, win)
-                out_ref[c, blk, :] = merged[0, :128]
-                out_ref[c, blk + 1, :] = merged[0, 128:256]
-                out_ref[c, blk + 2, :] = merged[0, 256:]
+                m = (widx >= r) & (widx < r + size)
+                cur = out_ref[c, pl.ds(blk, erows + 1), :]
+                out_ref[c, pl.ds(blk, erows + 1), :] = jnp.where(m, placed, cur)
                 return 0
 
             return jax.lax.fori_loop(0, n_units, unit_body, 0)
@@ -108,21 +169,20 @@ def compact_streams(
         kernel,
         grid=(C // _TC,),
         in_specs=[
-            pl.BlockSpec((_TC, n_units), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TC, n_units, _WPAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TC, 2 * n_units), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (_TC, n_units * erows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((_TC, nblk, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, nblk, 128), _I32),
         interpret=_interpret(),
-    )(positions, emissions)
+    )(meta, emit_blocks)
     return out.reshape(C, nblk * 128)[:C0, :out_width].astype(jnp.uint8)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=(
-        "S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr", "out_words"
-    ),
+    jax.jit, static_argnames=("S", "G", "out_words", "stride_span")
 )
 def decode_streams_from_frame(
     frame: jnp.ndarray,  # (F,) uint8 — whole frame bytes
@@ -131,43 +191,37 @@ def decode_streams_from_frame(
     is_comp: jnp.ndarray,  # (C,) bool — snappy chunk vs raw chunk
     S: int,
     G: int,
-    preamble_len: int,
-    copy_tag: int,
-    lit_tag: int,
-    lit_hdr: int,
     out_words: bool = False,
+    stride_span: int | None = None,
 ):
     """Structured-profile decode straight out of the frame buffer.
 
-    Avoids materializing per-chunk (C, bound) windows (a C-step extraction
-    scan costs ~18 ms at 4K): each grid step DMAs its tile's contiguous
-    byte range from the HBM frame into VMEM scratch (chunks are stored in
-    order, so a tile's chunks are contiguous) and walks the streams there.
+    Each grid step DMAs its tile's contiguous byte range from the HBM frame
+    into VMEM scratch (chunks are stored in order, so a tile's chunks are
+    contiguous) and walks the streams there, one 1024-byte unit per step.
     Raw-fallback chunks (hap.c:460-466) are copied through in the same unit
     loop. Returns ((C, S) uint8, (C,) bool ok), or with ``out_words`` set
     ((C, S//4) uint32 little-endian words, (C,) bool ok) — packed from the
     kernel's int32 byte-lanes with shifts, which is ~free, while the
-    uint8-cast + bitcast route costs ~15 ms per 4K frame
-    (tools/profile_pack_variants.py).
+    uint8-cast + bitcast route costs ~15 ms per 4K frame.
+
+    ``stride_span``: per-chunk storage stride when chunks are NOT packed
+    back-to-back (the decode_streams wrapper stores them at stride B); the
+    DMA window is sized to cover _TC strides.
     """
-    from hap_tpu.snappy.device import _UNIT
+    from hap_tpu.snappy.device import profile
+
+    p = profile(S, G)
+    U, n_full, tail = p.U, p.n_full, p.tail
+    P = len(p.pre)
+    n_units_out = n_full + (1 if tail else 0)
 
     C0 = chunk_offsets.shape[0]
-    U = _UNIT
-    n_full = S // U
-    tail = S - n_full * U
-    emit = U + lit_hdr
-    n_copy_elems = max(1, U // 64)
-    copy_size = 3 * n_copy_elems
-    # bound on one chunk's stream size (all-literal)
-    bound = preamble_len + n_full * emit + (tail + 2 if tail else 0)
-
     if C0 % _TC:
         padc = _TC - C0 % _TC
         # Padded chunks alias the last real chunk's offset so their cursors
-        # stay inside the tile's DMA window (offset 0 would make
-        # start-base negative -> out-of-bounds VMEM access). Their length
-        # check fails -> flagged not-ok -> rows sliced off.
+        # stay inside the tile's DMA window. Their length check fails ->
+        # flagged not-ok -> rows sliced off.
         chunk_offsets = jnp.concatenate(
             [chunk_offsets, jnp.broadcast_to(chunk_offsets[-1], (padc,))]
         )
@@ -175,24 +229,42 @@ def decode_streams_from_frame(
         is_comp = jnp.pad(is_comp, (0, padc))
     C = chunk_offsets.shape[0]
 
-    # Tile scratch: worst-case span of _TC in-order chunks + rotate guard.
-    # +8 because the HBM DMA start row is rounded down to the (8,128) tile
-    # granularity of the int32 layout; the row count itself must also be a
-    # multiple of 8 — DMAs into a scratch with a ragged final sublane tile
-    # crash the TPU worker (tools/bisect2.py case E: 77 rows).
-    tcb = ((_TC * bound) // 128 + 4 + 8 + 7) // 8 * 8
+    # Tile scratch: worst-case span of _TC in-order chunks, +8 rows for the
+    # downward 8-row alignment of the DMA start, +12 rows of read guard
+    # (every window read spans <= 10 rows past the cursor). The row count
+    # must be a multiple of 8: DMAs into a scratch with a ragged final
+    # sublane tile crash the TPU worker (tools/bisect2.py case E).
+    span = max(p.bound, stride_span or 0)
+    tcb = ((_TC * span) // 128 + 8 + 12 + 7) // 8 * 8
     fblk = (-(-frame.shape[0] // 128) + tcb + 7) // 8 * 8
     frame_blocks = (
         jnp.pad(frame, (0, fblk * 128 - frame.shape[0])).astype(_I32).reshape(fblk, 128)
     )
-    nout = -(-S // 128) + 1
 
-    def kernel(meta_ref, frame_ref, out_ref, ok_ref, scratch, sem):
-        # meta rows: [offset, comp_len, is_comp] per chunk. Packed into ONE
-        # SMEM operand and ok returned via VMEM: the combination of several
-        # SMEM operands + an SMEM output + a large DMA scratch miscompiles
-        # on this toolchain (worker crash; see tools/bisect2.py).
-        # Align the DMA start to the sublane-tile granularity (8 rows).
+    lit_tag = np.asarray([61 << 2, (U - 1) & 0xFF, (U - 1) >> 8], np.uint8)
+    seed_tag0 = int(p.seed_pat[0])
+    copy_tag0 = int(p.copy_pat[0])
+    # Static validation patterns (values + masks) as one kernel input.
+    PRE, LIT, COPY, SEED, THDR, TRUN = range(6)
+    if tail and n_full:
+        trun = [(0, p.tail_copy_pat)]
+    elif tail and tail > G:
+        trun = [(0, p.tail_seed_pat[:1]), (1 + G, p.tail_seed_pat[1:])]
+    else:
+        trun = []
+    pats = _pat_rows([
+        [(0, p.pre)],
+        [(0, lit_tag)],
+        [(0, p.copy_pat)],
+        [(0, p.seed_pat[:1]), (1 + G, p.seed_pat[1:])],
+        [(0, p.tail_hdr)],
+        trun,
+    ])
+    n_pat = 6
+
+    def kernel(meta_ref, frame_ref, pat_ref, out_ref, ok_ref, scratch, sem):
+        # meta rows: [offset, comp_len, is_comp] per chunk, ONE SMEM operand
+        # (see module docstring). DMA start 8-row aligned.
         base_blk = pl.multiple_of((meta_ref[0, 0] // 1024) * 8, 8)
         dma = pltpu.make_async_copy(
             frame_ref.at[pl.ds(base_blk, tcb), :], scratch, sem
@@ -200,109 +272,115 @@ def decode_streams_from_frame(
         dma.start()
         dma.wait()
 
-        def read_window(cursor):
-            blk = cursor // 128
-            r = cursor - blk * 128
-            win = jnp.concatenate(
-                [scratch[blk, :].reshape(1, 128),
-                 scratch[blk + 1, :].reshape(1, 128),
-                 scratch[blk + 2, :].reshape(1, 128),
-                 jnp.zeros((1, 128), _I32)], axis=1
-            )
-            shift = jnp.where(r == 0, 0, 512 - r)
-            return pltpu.roll(win, shift, 1)
-
         def chunk_body(c, _):
-            start = meta_ref[c, 0] - base_blk * 128
+            off = meta_ref[c, 0] - base_blk * 128
+            clen = meta_ref[c, 1]
             is_raw = meta_ref[c, 2] == 0
+            not_raw = jnp.logical_not(is_raw)
 
-            def unit_body(u, carry):
-                cursor, okc, prevg = carry
-                win = read_window(cursor)
-                tag = win[0, 0]
-                is_copy = (tag == copy_tag) & jnp.logical_not(is_raw)
-                copy_ok = tag == copy_tag
-                for e in range(n_copy_elems):
-                    copy_ok = (
-                        copy_ok
-                        & (win[0, 3 * e] == copy_tag)
-                        & (win[0, 3 * e + 1] == (G & 0xFF))
-                        & (win[0, 3 * e + 2] == (G >> 8))
-                    )
-                lit_ok = tag == lit_tag
-                if lit_hdr == 2:
-                    lit_ok = lit_ok & (win[0, 1] == (U - 1))
-                okc = okc & (
-                    is_raw | jnp.where(is_copy, copy_ok & (u > 0), lit_ok)
-                )
-                lit = win[:, lit_hdr : lit_hdr + U]
-                cp = jnp.concatenate([prevg] * (U // G), axis=1)
-                unit = jnp.where(is_copy, cp, jnp.where(is_raw, win[:, :U], lit))
-                prevg = unit[:, U - G :]
-                out_ref[c, u, :] = unit[0, :]
-                cursor = cursor + jnp.where(
-                    is_raw, U, jnp.where(is_copy, copy_size, emit)
-                )
-                return cursor, okc, prevg
+            # varint(S) preamble of compressed streams
+            wp = _read_at(scratch, off, 1)
+            bad = _mismatch(wp, pat_ref, n_pat, PRE, not_raw)
+            cursor = off + jnp.where(is_raw, 0, P)
+            prevg = jnp.zeros((1, G), _I32)
 
-            # Validate the varint(S) preamble of compressed streams.
-            from hap_tpu.snappy.device import _varint_bytes
-
-            pre_vals = _varint_bytes(S)
-            win0 = read_window(start)
-            pre_ok = jnp.bool_(True)
-            for i, pv in enumerate(pre_vals):
-                pre_ok = pre_ok & (win0[0, i] == int(pv))
-            ok0 = is_raw | pre_ok
-
-            cursor0 = start + jnp.where(is_raw, 0, preamble_len)
-            cursor, okc, prevg = jax.lax.fori_loop(
-                0, n_full, unit_body, (cursor0, ok0, jnp.zeros((1, G), _I32))
-            )
-            if tail:
-                win = read_window(cursor)
-                if tail - 1 < 60:
-                    thdr = 1
-                    tag_ok = win[0, 0] == ((tail - 1) << 2)
+            def decode_full_unit(u_is_first, cursor, prevg, bad, u):
+                w = _read_at(scratch, cursor, 9)
+                tag = w[0, 0]
+                lit_unit = _shift_static(w, p.lit_hdr, 8)
+                raw_unit = w[0:8]
+                if u_is_first:
+                    is_run = (tag == seed_tag0) & not_raw
+                    seed = _shift_static(w, 1, 1)[:, :G]
+                    run_unit = _tile_g(seed, G)
+                    bad += _mismatch(w, pat_ref, n_pat, SEED, is_run)
+                    adv_run = p.seed_size
                 else:
-                    thdr = 2
-                    tag_ok = (win[0, 0] == (60 << 2)) & (win[0, 1] == tail - 1)
-                okc = okc & (is_raw | tag_ok)
-                th = jnp.where(is_raw, 0, thdr)
-                twin = read_window(cursor + th)
-                tail_padded = jnp.concatenate(
-                    [twin[:, :tail], jnp.zeros((1, U - tail), _I32)], axis=1
+                    is_run = (tag == copy_tag0) & not_raw
+                    run_unit = _tile_g(prevg, G)
+                    bad += _mismatch(w, pat_ref, n_pat, COPY, is_run)
+                    adv_run = len(p.copy_pat)
+                is_lit = not_raw & jnp.logical_not(is_run)
+                bad += _mismatch(w, pat_ref, n_pat, LIT, is_lit)
+                unit = jnp.where(
+                    is_raw, raw_unit, jnp.where(is_run, run_unit, lit_unit)
                 )
-                out_ref[c, n_full, :] = tail_padded[0, :]
-                cursor = cursor + th + tail
-            okc = okc & (cursor - start == meta_ref[c, 1])
-            ok_ref[c, :] = jnp.full((128,), okc.astype(_I32), _I32)
+                out_ref[c, pl.ds(u * 8, 8), :] = unit
+                prevg = unit[7:8, 128 - G :]
+                cursor = cursor + jnp.where(
+                    is_raw, U, jnp.where(is_run, adv_run, p.emit_max)
+                )
+                return cursor, prevg, bad
+
+            if n_full:
+                cursor, prevg, bad = decode_full_unit(
+                    True, cursor, prevg, bad, jnp.int32(0)
+                )
+
+                def unit_body(u, carry):
+                    cursor, prevg, bad = carry
+                    return decode_full_unit(False, cursor, prevg, bad, u)
+
+                cursor, prevg, bad = jax.lax.fori_loop(
+                    1, n_full, unit_body, (cursor, prevg, bad)
+                )
+
+            if tail:
+                w = _read_at(scratch, cursor, 9)
+                tag = w[0, 0]
+                lit_unit = _shift_static(w, len(p.tail_hdr), 8)
+                if n_full:
+                    is_run = (tag == int(p.tail_copy_pat[0])) & not_raw
+                    run_unit = _tile_g(prevg, G)
+                    adv_run = len(p.tail_copy_pat)
+                elif tail > G:
+                    is_run = (tag == seed_tag0) & not_raw
+                    seed = _shift_static(w, 1, 1)[:, :G]
+                    run_unit = _tile_g(seed, G)
+                    adv_run = p.tail_seed_size
+                else:
+                    is_run = jnp.bool_(False)
+                    run_unit = lit_unit
+                    adv_run = 0
+                bad += _mismatch(w, pat_ref, n_pat, TRUN, is_run)
+                is_lit = not_raw & jnp.logical_not(is_run)
+                bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit)
+                unit = jnp.where(
+                    is_raw, w[0:8], jnp.where(is_run, run_unit, lit_unit)
+                )
+                out_ref[c, pl.ds(n_full * 8, 8), :] = unit
+                cursor = cursor + jnp.where(
+                    is_raw, tail, jnp.where(is_run, adv_run, p.tail_lit_size)
+                )
+
+            bad += (cursor - off != clen).astype(_I32)
+            ok_ref[c, :] = jnp.broadcast_to(bad, (1, 128))[0, :]
             return 0
 
         jax.lax.fori_loop(0, _TC, chunk_body, 0)
 
-    n_units_out = n_full + (1 if tail else 0)
     meta = jnp.stack(
-        [
-            chunk_offsets.astype(_I32),
-            comp_len.astype(_I32),
-            is_comp.astype(_I32),
-        ],
+        [chunk_offsets.astype(_I32), comp_len.astype(_I32), is_comp.astype(_I32)],
         axis=1,
     )  # (C, 3)
-    out, ok = pl.pallas_call(
+    out, badv = pl.pallas_call(
         kernel,
         grid=(C // _TC,),
         in_specs=[
             pl.BlockSpec((_TC, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (2 * n_pat, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((_TC, n_units_out, U), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_TC, n_units_out * 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((_TC, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, n_units_out, U), _I32),
+            jax.ShapeDtypeStruct((C, n_units_out * 8, 128), _I32),
             jax.ShapeDtypeStruct((C, 128), _I32),
         ),
         scratch_shapes=[
@@ -310,173 +388,38 @@ def decode_streams_from_frame(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
-    )(meta, frame_blocks)
+    )(meta, frame_blocks, jnp.asarray(pats))
+    ok = jnp.sum(badv[:C0], axis=1) == 0
     if out_words:
-        assert S % 4 == 0 and U % 4 == 0
-        y = out.reshape(C, n_units_out * U // 4, 4).astype(jnp.uint32)
+        assert S % 4 == 0
+        y = out.reshape(C, n_units_out * 256, 4).astype(jnp.uint32)
         words = y[..., 0] | (y[..., 1] << 8) | (y[..., 2] << 16) | (y[..., 3] << 24)
-        return words[:C0, : S // 4], (ok[:C0, 0] != 0)
-    out = out.reshape(C, n_units_out * U)[:C0, :S].astype(jnp.uint8)
-    return out, (ok[:C0, 0] != 0)
+        return words[:C0, : S // 4], ok
+    out = out.reshape(C, n_units_out * 1024)[:C0, :S].astype(jnp.uint8)
+    return out, ok
 
 
-@functools.partial(
-    jax.jit, static_argnames=("S", "G", "preamble_len", "copy_tag", "lit_tag", "lit_hdr")
-)
+@functools.partial(jax.jit, static_argnames=("S", "G"))
 def decode_streams(
     comp: jnp.ndarray,  # (C, B) uint8 — structured snappy streams
     comp_len: jnp.ndarray,  # (C,) int32
     S: int,
     G: int,
-    preamble_len: int,
-    copy_tag: int,
-    lit_tag: int,
-    lit_hdr: int,
 ):
-    """Structured-profile decode: returns ((C, S) uint8, (C,) bool ok)."""
-    from hap_tpu.snappy.device import _UNIT
+    """Structured-profile decode: returns ((C, S) uint8, (C,) bool ok).
 
-    C0, B = comp.shape
-    U = _UNIT
-    n_full = S // U
-    tail = S - n_full * U
-    emit = U + lit_hdr
-    per_store = 128 // U  # units per aligned output store
-    assert 128 % U == 0
-
-    if C0 % _TC:
-        padc = _TC - C0 % _TC
-        comp = jnp.pad(comp, ((0, padc), (0, 0)))
-        comp_len = jnp.pad(comp_len, (0, padc))
-    C = comp.shape[0]
-    comp_blocks = _to_blocks(comp, guard_blocks=3)  # (C, nin, 128) int32
-    nin = comp_blocks.shape[1]
-    nout = -(-S // 128) + 1
-
-    n_copy_elems = max(1, U // 64)
-    copy_size = 3 * n_copy_elems
-
-    def kernel(len_ref, comp_ref, out_ref, ok_ref):
-        def read_window(c, cursor):
-            blk = cursor // 128
-            r = cursor - blk * 128
-            win = jnp.concatenate(
-                [comp_ref[c, blk, :].reshape(1, 128),
-                 comp_ref[c, blk + 1, :].reshape(1, 128),
-                 comp_ref[c, blk + 2, :].reshape(1, 128),
-                 jnp.zeros((1, 128), _I32)], axis=1
-            )
-            shift = jnp.where(r == 0, 0, 512 - r)
-            return pltpu.roll(win, shift, 1)  # byte `cursor` at lane 0
-
-        def chunk_body(c, _):
-            def unit_body(u, carry):
-                cursor, okc, prevg, pending = carry
-                win = read_window(c, cursor)
-                tag = win[0, 0]
-                is_copy = tag == copy_tag
-                copy_ok = tag == copy_tag
-                for e in range(n_copy_elems):
-                    copy_ok = (
-                        copy_ok
-                        & (win[0, 3 * e] == copy_tag)
-                        & (win[0, 3 * e + 1] == (G & 0xFF))
-                        & (win[0, 3 * e + 2] == (G >> 8))
-                    )
-                lit_ok = tag == lit_tag
-                if lit_hdr == 2:
-                    lit_ok = lit_ok & (win[0, 1] == (U - 1))
-                okc = okc & jnp.where(is_copy, copy_ok & (u > 0), lit_ok)
-                lit = win[:, lit_hdr : lit_hdr + U]
-                cp = jnp.concatenate([prevg] * (U // G), axis=1)
-                unit = jnp.where(is_copy, cp, lit)  # (1, U)
-                prevg = unit[:, U - G :]
-                # Stage into the 128-lane pending register; flush when full.
-                if per_store == 1:
-                    pending = unit
-                else:
-                    slot = jax.lax.rem(u, per_store)
-                    lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
-                    unit_wide = jnp.concatenate(
-                        [unit, jnp.zeros((1, 128 - U), _I32)], axis=1
-                    )
-                    placed = pltpu.roll(unit_wide, slot * U, 1)
-                    sel = (lane128 >= slot * U) & (lane128 < (slot + 1) * U)
-                    pending = jnp.where(sel, placed, pending)
-
-                @pl.when(jax.lax.rem(u, per_store) == per_store - 1)
-                def _():
-                    out_ref[c, u // per_store, :] = pending[0, :]
-
-                cursor = cursor + jnp.where(is_copy, copy_size, emit)
-                return cursor, okc, prevg, pending
-
-            carry0 = (
-                jnp.int32(preamble_len),
-                jnp.bool_(True),
-                jnp.zeros((1, G), _I32),
-                jnp.zeros((1, 128), _I32),
-            )
-            cursor, okc, prevg, pending = jax.lax.fori_loop(
-                0, n_full, unit_body, carry0
-            )
-
-            # Flush a partial final store (when n_full % per_store != 0).
-            if n_full % per_store:
-                out_ref[c, n_full // per_store, :] = pending[0, :]
-
-            if tail:
-                win = read_window(c, cursor)
-                if tail - 1 < 60:
-                    thdr = 1
-                    okc = okc & (win[0, 0] == ((tail - 1) << 2))
-                else:
-                    thdr = 2
-                    okc = okc & (win[0, 0] == (60 << 2)) & (win[0, 1] == tail - 1)
-                base = n_full * U
-                blk = base // 128  # static
-                r = base - blk * 128  # static
-                pieces = []
-                if r:
-                    pieces.append(jnp.zeros((1, r), _I32))
-                pieces.append(win[:, thdr : thdr + tail])
-                if 256 - r - tail:
-                    pieces.append(jnp.zeros((1, 256 - r - tail), _I32))
-                tail_vec = jnp.concatenate(pieces, axis=1)
-                lane = _lane256()
-                mask = (lane >= r) & (lane < r + tail)
-                cur = jnp.concatenate(
-                    [out_ref[c, blk, :].reshape(1, 128),
-                     out_ref[c, blk + 1, :].reshape(1, 128)], axis=1
-                )
-                merged = jnp.where(mask, tail_vec, cur)
-                out_ref[c, blk, :] = merged[0, :128]
-                out_ref[c, blk + 1, :] = merged[0, 128:]
-                cursor = cursor + thdr + tail
-            okc = okc & (cursor == len_ref[c, 0])
-            ok_ref[c, 0] = okc.astype(_I32)
-            return 0
-
-        jax.lax.fori_loop(0, _TC, chunk_body, 0)
-
-    out, ok = pl.pallas_call(
-        kernel,
-        grid=(C // _TC,),
-        in_specs=[
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TC, nin, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((_TC, nout, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((C, nout, 128), _I32),
-            jax.ShapeDtypeStruct((C, 1), _I32),
-        ),
-        interpret=_interpret(),
-    )(comp_len.astype(_I32).reshape(-1, 1), comp_blocks)
-    return (
-        out.reshape(C, nout * 128)[:C0, :S].astype(jnp.uint8),
-        ok[:C0, 0].astype(jnp.bool_),
+    Thin wrapper: lays the (C, B) streams out as one flat buffer at stride
+    B and runs the frame-direct kernel over it.
+    """
+    C, B = comp.shape
+    flat = comp.reshape(-1)
+    offsets = jnp.arange(C, dtype=_I32) * B
+    return decode_streams_from_frame(
+        flat,
+        offsets,
+        comp_len.astype(_I32),
+        jnp.ones((C,), jnp.bool_),
+        S,
+        G,
+        stride_span=B,
     )

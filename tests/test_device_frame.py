@@ -63,6 +63,23 @@ def test_device_snappy_conformance(rng, S, G):
 
 
 def test_device_snappy_flags_foreign_stream(rng):
+    # Period-3 content: a general encoder emits offset-3 copies, which are
+    # legal Snappy but outside the structured profile -> flagged not-ok.
+    S, G = 1024, 8
+    data = np.tile(rng.integers(0, 256, 3, dtype=np.uint8), S // 3 + 1)[:S]
+    foreign = pyref.compress(data.tobytes())
+    buf = np.zeros((1, 2048), np.uint8)
+    buf[0, : len(foreign)] = np.frombuffer(foreign, np.uint8)
+    dec, ok = snappy_decode_chunks(
+        jnp.asarray(buf), jnp.asarray([len(foreign)]), S, G
+    )
+    assert not bool(np.asarray(ok)[0])
+
+
+def test_device_snappy_accepts_coinciding_foreign_stream(rng):
+    # For G-periodic content, general encoders (pyref here) happen to emit
+    # exactly the structured profile's seeded flavor (seed literal +
+    # offset-G copy2 run) — the device fast path decodes it bit-exactly.
     S, G = 1024, 8
     data = np.tile(rng.integers(0, 256, G, dtype=np.uint8), S // G)
     foreign = pyref.compress(data.tobytes())
@@ -71,7 +88,8 @@ def test_device_snappy_flags_foreign_stream(rng):
     dec, ok = snappy_decode_chunks(
         jnp.asarray(buf), jnp.asarray([len(foreign)]), S, G
     )
-    assert not bool(np.asarray(ok)[0])
+    assert bool(np.asarray(ok)[0])
+    np.testing.assert_array_equal(np.asarray(dec)[0], data)
 
 
 def test_device_snappy_compresses_flat():

@@ -51,7 +51,7 @@ sync_time(partial(snappy_encode_chunks, S=S, G=G), dj, name="snappy_enc (scatter
 comp, clen = jax.jit(partial(snappy_encode_chunks, S=S, G=G))(dj)
 comp = jax.block_until_ready(comp)
 for K in (8, 16, 32):
-    sync_time(partial(snappy_decode_chunks, S=S, G=G, units_per_step=K),
+    sync_time(partial(snappy_decode_chunks, S=S, G=G),
               comp, clen, name=f"snappy_dec K={K}")
 
 # q-block row gather probe for encode compaction alternative
