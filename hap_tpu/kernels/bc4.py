@@ -141,9 +141,17 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         a1 = jnp.clip(jnp.round(e1), 0, 255).astype(_I32)
         swap = a0 < a1
         a0, a1 = jnp.where(swap, a1, a0), jnp.where(swap, a0, a1)
-        palette = _palette8(a0, a1)  # (N, 8)
-        d = v[:, :, None] - palette[:, None, :].astype(_F32)
-        codes = jnp.argmin(d * d, axis=-1).astype(_I32)
+        palette = _palette8(a0, a1).astype(_F32)  # (N, 8)
+        # Running min/select over the 8 entries: one fused elementwise pass
+        # instead of a materialized (N,16,8) distance tensor + argmin (HBM
+        # traffic at 4K). Strict `<` keeps argmin's first-minimal-index rule.
+        codes = jnp.zeros_like(values, dtype=_I32)
+        bestd = jnp.abs(v - palette[:, 0][:, None])
+        for k in range(1, 8):
+            dist = jnp.abs(v - palette[:, k][:, None])
+            sel = dist < bestd
+            codes = jnp.where(sel, k, codes)
+            bestd = jnp.where(sel, dist, bestd)
         codes = jnp.where((a0 == a1)[:, None], 0, codes)
         return a0, a1, codes
 
