@@ -31,8 +31,8 @@ import numpy as np
 
 H, W = 2160, 3840
 CHUNKS = 64
-BATCH = 4  # frames per dispatch (GOP slice)
-ITERS = 8  # timed dispatches
+BATCH = 8  # frames per dispatch (GOP slice)
+ITERS = 6  # timed dispatches
 
 
 def log(*a):
