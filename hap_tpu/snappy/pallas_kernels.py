@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 _I32 = jnp.int32
 
 _TC = 8  # chunks per grid step
+_UJ = 2  # interleaved chunk chains per decode loop iteration (divides _TC)
 
 
 def _interpret() -> bool:
@@ -272,92 +273,120 @@ def decode_streams_from_frame(
         dma.start()
         dma.wait()
 
-        def chunk_body(c, _):
-            off = meta_ref[c, 0] - base_blk * 128
-            clen = meta_ref[c, 1]
-            is_raw = meta_ref[c, 2] == 0
-            not_raw = jnp.logical_not(is_raw)
+        def decode_full_unit(c, is_raw, not_raw, u_is_first, cursor, prevg, bad, u):
+            w = _read_at(scratch, cursor, 9)
+            tag = w[0, 0]
+            lit_unit = _shift_static(w, p.lit_hdr, 8)
+            raw_unit = w[0:8]
+            if u_is_first:
+                is_run = (tag == seed_tag0) & not_raw
+                seed = _shift_static(w, 1, 1)[:, :G]
+                run_unit = _tile_g(seed, G)
+                bad += _mismatch(w, pat_ref, n_pat, SEED, is_run)
+                adv_run = p.seed_size
+            else:
+                is_run = (tag == copy_tag0) & not_raw
+                run_unit = _tile_g(prevg, G)
+                bad += _mismatch(w, pat_ref, n_pat, COPY, is_run)
+                adv_run = len(p.copy_pat)
+            is_lit = not_raw & jnp.logical_not(is_run)
+            bad += _mismatch(w, pat_ref, n_pat, LIT, is_lit)
+            unit = jnp.where(
+                is_raw, raw_unit, jnp.where(is_run, run_unit, lit_unit)
+            )
+            out_ref[c, pl.ds(u * 8, 8), :] = unit
+            prevg = unit[7:8, 128 - G :]
+            cursor = cursor + jnp.where(
+                is_raw, U, jnp.where(is_run, adv_run, p.emit_max)
+            )
+            return cursor, prevg, bad
+
+        def decode_tail(c, is_raw, not_raw, cursor, prevg, bad):
+            w = _read_at(scratch, cursor, 9)
+            tag = w[0, 0]
+            lit_unit = _shift_static(w, len(p.tail_hdr), 8)
+            if n_full:
+                is_run = (tag == int(p.tail_copy_pat[0])) & not_raw
+                run_unit = _tile_g(prevg, G)
+                adv_run = len(p.tail_copy_pat)
+            elif tail > G:
+                is_run = (tag == seed_tag0) & not_raw
+                seed = _shift_static(w, 1, 1)[:, :G]
+                run_unit = _tile_g(seed, G)
+                adv_run = p.tail_seed_size
+            else:
+                is_run = jnp.bool_(False)
+                run_unit = lit_unit
+                adv_run = 0
+            bad += _mismatch(w, pat_ref, n_pat, TRUN, is_run)
+            is_lit = not_raw & jnp.logical_not(is_run)
+            bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit)
+            unit = jnp.where(
+                is_raw, w[0:8], jnp.where(is_run, run_unit, lit_unit)
+            )
+            out_ref[c, pl.ds(n_full * 8, 8), :] = unit
+            return cursor + jnp.where(
+                is_raw, tail, jnp.where(is_run, adv_run, p.tail_lit_size)
+            ), bad
+
+        # J chunks are walked interleaved per group: each chunk's cursor
+        # chain is a serial dependency, so issuing J independent chains per
+        # loop iteration hides the chain latency behind vector work.
+        def group_body(g, _):
+            cs = [g * _UJ + j for j in range(_UJ)]
+            offs = [meta_ref[c, 0] - base_blk * 128 for c in cs]
+            clens = [meta_ref[c, 1] for c in cs]
+            raws = [meta_ref[c, 2] == 0 for c in cs]
+            nraws = [jnp.logical_not(r) for r in raws]
 
             # varint(S) preamble of compressed streams
-            wp = _read_at(scratch, off, 1)
-            bad = _mismatch(wp, pat_ref, n_pat, PRE, not_raw)
-            cursor = off + jnp.where(is_raw, 0, P)
-            prevg = jnp.zeros((1, G), _I32)
-
-            def decode_full_unit(u_is_first, cursor, prevg, bad, u):
-                w = _read_at(scratch, cursor, 9)
-                tag = w[0, 0]
-                lit_unit = _shift_static(w, p.lit_hdr, 8)
-                raw_unit = w[0:8]
-                if u_is_first:
-                    is_run = (tag == seed_tag0) & not_raw
-                    seed = _shift_static(w, 1, 1)[:, :G]
-                    run_unit = _tile_g(seed, G)
-                    bad += _mismatch(w, pat_ref, n_pat, SEED, is_run)
-                    adv_run = p.seed_size
-                else:
-                    is_run = (tag == copy_tag0) & not_raw
-                    run_unit = _tile_g(prevg, G)
-                    bad += _mismatch(w, pat_ref, n_pat, COPY, is_run)
-                    adv_run = len(p.copy_pat)
-                is_lit = not_raw & jnp.logical_not(is_run)
-                bad += _mismatch(w, pat_ref, n_pat, LIT, is_lit)
-                unit = jnp.where(
-                    is_raw, raw_unit, jnp.where(is_run, run_unit, lit_unit)
-                )
-                out_ref[c, pl.ds(u * 8, 8), :] = unit
-                prevg = unit[7:8, 128 - G :]
-                cursor = cursor + jnp.where(
-                    is_raw, U, jnp.where(is_run, adv_run, p.emit_max)
-                )
-                return cursor, prevg, bad
+            bads = [
+                _mismatch(_read_at(scratch, off, 1), pat_ref, n_pat, PRE, nr)
+                for off, nr in zip(offs, nraws)
+            ]
+            cursors = [
+                off + jnp.where(r, 0, P) for off, r in zip(offs, raws)
+            ]
+            prevgs = [jnp.zeros((1, G), _I32)] * _UJ
 
             if n_full:
-                cursor, prevg, bad = decode_full_unit(
-                    True, cursor, prevg, bad, jnp.int32(0)
-                )
+                for j in range(_UJ):
+                    cursors[j], prevgs[j], bads[j] = decode_full_unit(
+                        cs[j], raws[j], nraws[j], True,
+                        cursors[j], prevgs[j], bads[j], jnp.int32(0),
+                    )
 
                 def unit_body(u, carry):
-                    cursor, prevg, bad = carry
-                    return decode_full_unit(False, cursor, prevg, bad, u)
+                    out = []
+                    for j in range(_UJ):
+                        out.append(decode_full_unit(
+                            cs[j], raws[j], nraws[j], False,
+                            carry[3 * j], carry[3 * j + 1], carry[3 * j + 2], u,
+                        ))
+                    return tuple(x for trio in out for x in trio)
 
-                cursor, prevg, bad = jax.lax.fori_loop(
-                    1, n_full, unit_body, (cursor, prevg, bad)
+                flat = jax.lax.fori_loop(
+                    1, n_full, unit_body,
+                    tuple(
+                        x
+                        for j in range(_UJ)
+                        for x in (cursors[j], prevgs[j], bads[j])
+                    ),
                 )
+                cursors = [flat[3 * j] for j in range(_UJ)]
+                prevgs = [flat[3 * j + 1] for j in range(_UJ)]
+                bads = [flat[3 * j + 2] for j in range(_UJ)]
 
-            if tail:
-                w = _read_at(scratch, cursor, 9)
-                tag = w[0, 0]
-                lit_unit = _shift_static(w, len(p.tail_hdr), 8)
-                if n_full:
-                    is_run = (tag == int(p.tail_copy_pat[0])) & not_raw
-                    run_unit = _tile_g(prevg, G)
-                    adv_run = len(p.tail_copy_pat)
-                elif tail > G:
-                    is_run = (tag == seed_tag0) & not_raw
-                    seed = _shift_static(w, 1, 1)[:, :G]
-                    run_unit = _tile_g(seed, G)
-                    adv_run = p.tail_seed_size
-                else:
-                    is_run = jnp.bool_(False)
-                    run_unit = lit_unit
-                    adv_run = 0
-                bad += _mismatch(w, pat_ref, n_pat, TRUN, is_run)
-                is_lit = not_raw & jnp.logical_not(is_run)
-                bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit)
-                unit = jnp.where(
-                    is_raw, w[0:8], jnp.where(is_run, run_unit, lit_unit)
-                )
-                out_ref[c, pl.ds(n_full * 8, 8), :] = unit
-                cursor = cursor + jnp.where(
-                    is_raw, tail, jnp.where(is_run, adv_run, p.tail_lit_size)
-                )
-
-            bad += (cursor - off != clen).astype(_I32)
-            ok_ref[c, :] = jnp.broadcast_to(bad, (1, 128))[0, :]
+            for j in range(_UJ):
+                if tail:
+                    cursors[j], bads[j] = decode_tail(
+                        cs[j], raws[j], nraws[j], cursors[j], prevgs[j], bads[j]
+                    )
+                bads[j] += (cursors[j] - offs[j] != clens[j]).astype(_I32)
+                ok_ref[cs[j], :] = jnp.broadcast_to(bads[j], (1, 128))[0, :]
             return 0
 
-        jax.lax.fori_loop(0, _TC, chunk_body, 0)
+        jax.lax.fori_loop(0, _TC // _UJ, group_body, 0)
 
     meta = jnp.stack(
         [chunk_offsets.astype(_I32), comp_len.astype(_I32), is_comp.astype(_I32)],
