@@ -31,8 +31,8 @@ import numpy as np
 
 H, W = 2160, 3840
 CHUNKS = 64
-BATCH = 8  # frames per dispatch (GOP slice)
-ITERS = 6  # timed dispatches
+BATCH = 16  # frames per dispatch (GOP slice)
+ITERS = 4  # timed dispatches
 
 
 def log(*a):

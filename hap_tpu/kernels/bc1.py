@@ -102,7 +102,7 @@ def bc1_decode_blocks(words: jnp.ndarray, dxt1_punchthrough: bool = True):
     return rgb.astype(jnp.uint8), (alpha * 255).astype(jnp.uint8)
 
 
-def _principal_axis(px: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+def _principal_axis(px: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     """(N, 16, C) float pixels -> (N, C) unit principal axis via power iteration.
 
     The tiny per-block covariance (CxC with C=3 or 4) is computed and applied
@@ -133,20 +133,30 @@ def _weights_from_codes_bc1(codes: jnp.ndarray) -> jnp.ndarray:
     return is1 + is2 * (1.0 / 3.0) + is3 * (2.0 / 3.0)
 
 
-def _fit_endpoints_ls(px: jnp.ndarray, weights: jnp.ndarray, e0: jnp.ndarray, e1: jnp.ndarray):
+def _fit_endpoints_ls(
+    px: jnp.ndarray,
+    weights: jnp.ndarray,
+    e0: jnp.ndarray,
+    e1: jnp.ndarray,
+    spx: jnp.ndarray | None = None,
+):
     """Least-squares endpoints given per-pixel interpolation weights.
 
     Minimizes sum_i ||px_i - ((1-w_i) e0 + w_i e1)||^2; keeps the previous
     endpoints where the normal-equation system is singular (solid blocks).
-    px: (N, 16, C); weights: (N, 16); e0/e1: (N, C).
+    px: (N, 16, C); weights: (N, 16); e0/e1: (N, C). ``spx`` = per-block
+    texel sum (N, C), loop-invariant across refine rounds — only 3 of the 5
+    normal-equation contractions touch data: alpha/beta follow from
+    (sum w, sum w^2) and r0 = spx - r1.
     """
-    one_m = 1.0 - weights
-    alpha = jnp.sum(one_m * one_m, axis=1)
-    beta = jnp.sum(one_m * weights, axis=1)
+    ntex = px.shape[1]
+    sw = jnp.sum(weights, axis=1)
     gamma = jnp.sum(weights * weights, axis=1)
+    beta = sw - gamma
+    alpha = ntex - 2.0 * sw + gamma
     # elementwise contractions (batched tiny matvecs waste the MXU)
-    r0 = jnp.sum(one_m[:, :, None] * px, axis=1)
     r1 = jnp.sum(weights[:, :, None] * px, axis=1)
+    r0 = (jnp.sum(px, axis=1) if spx is None else spx) - r1
     det = alpha * gamma - beta * beta
     ok = jnp.abs(det) > 1e-4
     inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
@@ -197,6 +207,7 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
 
     axis = _principal_axis(px)
     mean = jnp.mean(px, axis=1)
+    spx = mean * 16.0  # exact: /16 then *16 are power-of-2 ops
     t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
     tmin = jnp.min(t, axis=1)
     tmax = jnp.max(t, axis=1)
@@ -223,7 +234,7 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
         r1, g1, b1 = expand565(q1)
         e0f = jnp.stack([r0, g0, b0], -1).astype(_F32)
         e1f = jnp.stack([r1, g1, b1], -1).astype(_F32)
-        e0n, e1n = _fit_endpoints_ls(px, w, e0f, e1f)
+        e0n, e1n = _fit_endpoints_ls(px, w, e0f, e1f, spx=spx)
         q0, q1, codes = one_round(e0n, e1n)
 
     idx = _pack_indices2(codes)
