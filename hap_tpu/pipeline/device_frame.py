@@ -74,7 +74,9 @@ def frame_layout(input_bytes: int, chunk_count: int, G: int):
     payload_off = top_hdr + 4 + dil
     fmax = payload_off + chunk_count * bound
     fmax = max(fmax, top_hdr + input_bytes)  # raw-fallback shape
-    return S, dil, top_hdr, bound, payload_off, fmax
+    # +bound guard tail: decode's chunk-window reads never run past the
+    # buffer, so device-encoded frames decode with zero re-pad copies.
+    return S, dil, top_hdr, bound, payload_off, fmax + bound
 
 
 @partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
@@ -124,12 +126,17 @@ def encode_frame_device(
 
         # Payload: write each chunk's (bound-padded) stream at its position;
         # in-order writes let the next chunk overwrite the previous pad tail.
-        padded = jnp.where(is_comp[:, None], comp[:, :bound],
-                           jnp.pad(chunks, ((0, 0), (0, bound - S)))[:, :bound])
+        # Raw-fallback select happens per chunk inside the scan — a whole-
+        # frame where() would materialize another payload-sized array.
+        def raw_chunk(c):
+            if bound >= S:
+                return jnp.pad(chunks[c], (0, bound - S))
+            return chunks[c, :bound]
 
         def body(frame, c):
+            stream_c = jnp.where(is_comp[c], comp[c, :bound], raw_chunk(c))
             frame = jax.lax.dynamic_update_slice(
-                frame, padded[c], (payload_off + positions[c],)
+                frame, stream_c, (payload_off + positions[c],)
             )
             return frame, None
 
@@ -178,9 +185,9 @@ def decode_frame_device(
     C = chunk_count
     S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
     if frame.shape[0] < fmax:
+        # fmax includes a +bound guard tail (frame_layout), so chunk-window
+        # extraction can't run off the end; device frames skip this copy.
         frame = jnp.pad(frame, (0, fmax - frame.shape[0]))
-    # Pad so chunk-window extraction can't run off the end.
-    frame = jnp.pad(frame, (0, bound))
 
     type_byte = frame[3]
     compressor = (type_byte >> 4) & 0xF

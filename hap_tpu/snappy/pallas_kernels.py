@@ -143,28 +143,35 @@ def compact_streams(
             + jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 1)
         )
 
-        def chunk_body(c, _):
+        def place_unit(c, u):
+            pos = meta_ref[c, u]
+            size = meta_ref[c, n_units + u]
+            blk = pos // 128
+            r = pos - blk * 128
+            e = emit_ref[c, pl.ds(u * erows, erows), :]
+            er = pltpu.roll(e, r, 1)
+            zrow = jnp.zeros((1, 128), _I32)
+            placed = jnp.where(
+                lane >= r,
+                jnp.concatenate([er, zrow], axis=0),
+                jnp.concatenate([zrow, er], axis=0),
+            )
+            m = (widx >= r) & (widx < r + size)
+            cur = out_ref[c, pl.ds(blk, erows + 1), :]
+            out_ref[c, pl.ds(blk, erows + 1), :] = jnp.where(m, placed, cur)
+
+        # J chunks interleaved per iteration: each chunk's unit placements
+        # are serial (adjacent units read-modify-write overlapping rows), so
+        # issuing J independent chains hides the RMW dependency latency.
+        def group_body(g, _):
             def unit_body(u, _):
-                pos = meta_ref[c, u]
-                size = meta_ref[c, n_units + u]
-                blk = pos // 128
-                r = pos - blk * 128
-                e = emit_ref[c, pl.ds(u * erows, erows), :]
-                er = pltpu.roll(e, r, 1)
-                zrow = jnp.zeros((1, 128), _I32)
-                placed = jnp.where(
-                    lane >= r,
-                    jnp.concatenate([er, zrow], axis=0),
-                    jnp.concatenate([zrow, er], axis=0),
-                )
-                m = (widx >= r) & (widx < r + size)
-                cur = out_ref[c, pl.ds(blk, erows + 1), :]
-                out_ref[c, pl.ds(blk, erows + 1), :] = jnp.where(m, placed, cur)
+                for j in range(_UJ):
+                    place_unit(g * _UJ + j, u)
                 return 0
 
             return jax.lax.fori_loop(0, n_units, unit_body, 0)
 
-        jax.lax.fori_loop(0, _TC, chunk_body, 0)
+        jax.lax.fori_loop(0, _TC // _UJ, group_body, 0)
 
     out = pl.pallas_call(
         kernel,
