@@ -211,6 +211,26 @@ def test_device_pipeline_roundtrip(codec, channels):
     assert psnr > 30.0, f"{codec}: {psnr:.1f} dB"
 
 
+@pytest.mark.parametrize("h,w", [(37, 53), (17, 33), (5, 3)])
+def test_device_pipeline_odd_dimensions(h, w):
+    """Odd sizes (reference Odd Dimensions pack, README.md:24) through the
+    fully on-device path: edge blocks pad on encode, crop on decode, and the
+    emitted frame stays host-decodable."""
+    img = gradient_image(max(h, 8), max(w, 8), 3)[:h, :w]
+    out, flen, ok = roundtrip_pipeline(jnp.asarray(img), "hap_q", chunk_count=4)
+    assert bool(np.asarray(ok))
+    out = np.asarray(out)
+    assert out.shape == (h, w, 3)
+    mse = np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30.0
+    # host decode agrees bit-exactly with the device decode
+    frame_buf, flen = encode_pipeline(jnp.asarray(img), "hap_q", chunk_count=4)
+    frame = np.asarray(frame_buf)[: int(flen)].tobytes()
+    from hap_tpu.pipeline import decode_frame
+
+    np.testing.assert_array_equal(decode_frame(frame, h, w), out)
+
+
 def test_device_pipeline_frame_is_conformant():
     h, w = 64, 64
     img = gradient_image(h, w, 3, seed=2)
