@@ -52,13 +52,50 @@ def rgb_to_cocgsy(blocks_rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([co_b, cg_b, scale_b, y_b], axis=-1).astype(jnp.uint8)
 
 
+def rgb_to_cocgs_y(blocks_rgb: jnp.ndarray):
+    """Split-output encoder transform: (N, 16, 3) uint8 RGB ->
+    ((N, 16, 3) uint8 CoCg_scale, (N, 16) uint8 Y).
+
+    Same math as rgb_to_cocgsy without interleaving Y into a 4-channel
+    array the BC3 encoder would immediately split back out (the interleave
+    is a payload-sized relayout on TPU)."""
+    rgb = blocks_rgb.astype(_F32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    co = r - b
+    t = b + co * 0.5
+    cg = g - t
+    y = t + cg * 0.5
+    amp = jnp.maximum(jnp.max(jnp.abs(co), axis=1), jnp.max(jnp.abs(cg), axis=1))
+    half_amp = amp * 0.5
+    scale = jnp.where(half_amp < 32.0, 4.0, jnp.where(half_amp < 64.0, 2.0, 1.0))
+    s = scale[:, None]
+    co_b = jnp.clip(jnp.round(co * 0.5 * s + _OFFSET), 0, 255)
+    cg_b = jnp.clip(jnp.round(cg * 0.5 * s + _OFFSET), 0, 255)
+    scale_b = jnp.broadcast_to((scale[:, None] - 1.0) * 8.0, co_b.shape)
+    y_b = jnp.clip(jnp.round(y), 0, 255)
+    cocgs = jnp.stack([co_b, cg_b, scale_b], axis=-1).astype(jnp.uint8)
+    return cocgs, y_b.astype(jnp.uint8)
+
+
 def cocgsy_to_rgb(blocks: jnp.ndarray) -> jnp.ndarray:
     """(N, 16, 4) uint8 CoCg_scale_Y -> (N, 16, 3) uint8 RGB (decode shader)."""
-    v = blocks.astype(_F32)
-    scale = v[..., 2] / 8.0 + 1.0
-    co = (v[..., 0] - _OFFSET) * 2.0 / scale
-    cg = (v[..., 1] - _OFFSET) * 2.0 / scale
-    y = v[..., 3]
+    return cocgs_y_to_rgb(blocks[..., :3], blocks[..., 3])
+
+
+def cocgs_y_to_rgb(cocgs: jnp.ndarray, y8: jnp.ndarray) -> jnp.ndarray:
+    """Split-input decode shader: ((N, 16, 3) CoCg_scale, (N, 16) Y) -> RGB.
+
+    Takes the BC1-half and BC4-half decoder outputs directly, so the hap_q
+    device path never materializes an interleaved (N, 16, 4) block array
+    (a payload-sized relayout). Scales are powers of two, so the divide is
+    an exact multiply by a selected reciprocal.
+    """
+    v = cocgs.astype(_F32)
+    sb = v[..., 2]  # (scale - 1) * 8 in {0, 8, 24}
+    inv2 = jnp.where(sb < 4.0, 2.0, jnp.where(sb < 16.0, 1.0, 0.5))  # 2/scale
+    co = (v[..., 0] - _OFFSET) * inv2
+    cg = (v[..., 1] - _OFFSET) * inv2
+    y = y8.astype(_F32)
     t = y - cg * 0.5
     g = cg + t
     b = t - co * 0.5

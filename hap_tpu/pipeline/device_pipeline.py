@@ -54,7 +54,14 @@ def _encode_blocks(codec: str, img: jnp.ndarray) -> jnp.ndarray:
     if codec == "hap_alpha":
         return bc3_encode_blocks(image_to_blocks(img))
     if codec == "hap_q":
-        return bc3_encode_blocks(rgb_to_cocgsy(image_to_blocks(img[..., :3])))
+        from hap_tpu.kernels.bc1 import bc1_encode_blocks as _bc1_enc
+        from hap_tpu.kernels.bc4 import bc4_encode_blocks as _bc4_enc
+        from hap_tpu.kernels.ycocg import rgb_to_cocgs_y
+
+        # Split-channel transform feeds the two half-encoders directly (no
+        # interleaved (N, 16, 4) array; see kernels/ycocg.py).
+        cocgs, y = rgb_to_cocgs_y(image_to_blocks(img[..., :3]))
+        return jnp.concatenate([_bc4_enc(y), _bc1_enc(cocgs)], axis=1)
     if codec == "hap_alpha_only":
         chan = img if img.ndim == 2 else img[..., -1]
         return bc4_encode_blocks(image_to_blocks(chan))
@@ -76,7 +83,16 @@ def _decode_blocks(codec: str, words: jnp.ndarray, h: int, w: int) -> jnp.ndarra
     if codec == "hap_alpha":
         return blocks_to_image(bc3_decode_blocks(words), h, w)
     if codec == "hap_q":
-        return blocks_to_image(cocgsy_to_rgb(bc3_decode_blocks(words)), h, w)
+        from hap_tpu.kernels.bc1 import bc1_decode_blocks as _bc1_dec
+        from hap_tpu.kernels.bc4 import bc4_decode_blocks as _bc4_dec
+        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb
+
+        # Feed the two half-decoders straight into the split-input shader —
+        # skips the interleaved (N, 16, 4) block array bc3_decode_blocks
+        # would materialize (a payload-sized relayout).
+        cocgs, _ = _bc1_dec(words[:, 2:4], dxt1_punchthrough=False)
+        y = _bc4_dec(words[:, 0:2])
+        return blocks_to_image(cocgs_y_to_rgb(cocgs, y), h, w)
     if codec == "hap_alpha_only":
         return blocks_to_image(bc4_decode_blocks(words), h, w)
     if codec == "hap_r":
