@@ -5,19 +5,19 @@ Byte-serial LZ parsing is the worst fit for a vector machine (SURVEY.md §7
 Snappy format — every stream is fully conforming (any spec-compliant
 decoder, including the reference's google-snappy, decodes it bit-exactly),
 but its element structure is chosen so that both emission and decoding
-vectorize: the chunk payload is processed in 1024-byte units — one full
-(8, 128) VPU tile per sequential kernel step.
+vectorize: the chunk payload is processed in 2048-byte units — two full
+(8, 128) VPU tiles per sequential kernel step.
 
 Unit flavors (sizes are static given S and G = the DXT block size):
 
-* ``literal``: extended literal, 3-byte tag (61-coded length 1024) + bytes.
-* ``copy``: 16 back-to-back ``copy2(offset=G, len=64)`` elements (48 bytes;
+* ``literal``: extended literal, 3-byte tag (61-coded length U) + bytes.
+* ``copy``: U/64 back-to-back ``copy2(offset=G, len=64)`` elements (3U/64 bytes;
   overlapping copies continue a G-periodic run — the standard Snappy RLE
   idiom). Valid for units after the first.
 * ``seeded``: for the FIRST unit of a G-periodic chunk (no history yet):
-  a G-byte literal seed + copy elements covering the remaining 1024-G
+  a G-byte literal seed + copy elements covering the remaining U-G
   bytes. Keeps flat/G-periodic chunks ~21x compressible from byte 0.
-* the sub-unit ``tail`` (S mod 1024 bytes, a multiple of G) has the same
+* the sub-unit ``tail`` (S mod U bytes, a multiple of G) has the same
   three flavors with sizes derived from the tail length.
 
 Both directions run as Pallas kernels (snappy/pallas_kernels.py): each
@@ -46,7 +46,7 @@ import numpy as np
 _I32 = jnp.int32
 _U8 = jnp.uint8
 
-_UNIT = 1024  # output bytes per full unit (one (8,128) VPU tile)
+_UNIT = 2048  # output bytes per full unit (two (8, 128) VPU tiles)
 
 
 def _varint_bytes(value: int) -> np.ndarray:

@@ -3,7 +3,7 @@
 XLA's gather/scatter lowering costs ~8 ns per element on TPU, which caps
 byte-shuffling at ~0.1 GB/s — hopeless for the compaction and cursor-walk at
 the heart of a byte codec. These kernels move one full (8, 128) VPU tile
-(1024 bytes) per sequential step: unaligned dynamic multi-row VMEM loads and
+(2048 bytes = 2 tiles) per sequential step: unaligned dynamic multi-row VMEM loads and
 stores plus dynamic lane rotates, all probed supported on this toolchain
 (tools/probe_wideunit.py).
 
@@ -26,7 +26,7 @@ Kernels:
   position in the chunk stream (read-modify-write row-window merges).
 * decode_streams_from_frame — decode-side: DMA a tile's contiguous chunk
   range from the HBM frame into VMEM scratch, then walk the structured
-  stream per chunk, one 1024-byte unit per step (profile: snappy/device.py).
+  stream per chunk, one 2048-byte unit per step (profile: snappy/device.py).
 * decode_streams — wrapper over decode_streams_from_frame for (C, B)
   per-chunk stream arrays.
 
@@ -105,10 +105,10 @@ def _mismatch(w, pat_ref, n_pat: int, row: int, applicable) -> jnp.ndarray:
     return jnp.where(applicable, bad, 0)
 
 
-def _tile_g(row_g, g):
-    """(1, G) int32 -> (8, 128) G-periodic tile."""
+def _tile_g(row_g, g, nrows=8):
+    """(1, G) int32 -> (nrows, 128) G-periodic tile."""
     row = jnp.concatenate([row_g] * (128 // g), axis=1)
-    return jnp.broadcast_to(row, (8, 128))
+    return jnp.broadcast_to(row, (nrows, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -206,7 +206,7 @@ def decode_streams_from_frame(
 
     Each grid step DMAs its tile's contiguous byte range from the HBM frame
     into VMEM scratch (chunks are stored in order, so a tile's chunks are
-    contiguous) and walks the streams there, one 1024-byte unit per step.
+    contiguous) and walks the streams there, one 2048-byte unit per step.
     Raw-fallback chunks (hap.c:460-466) are copied through in the same unit
     loop. Returns ((C, S) uint8, (C,) bool ok), or with ``out_words`` set
     ((C, S//4) uint32 little-endian words, (C,) bool ok) — packed from the
@@ -237,13 +237,14 @@ def decode_streams_from_frame(
         is_comp = jnp.pad(is_comp, (0, padc))
     C = chunk_offsets.shape[0]
 
+    R = U // 128  # unit rows per sequential step
     # Tile scratch: worst-case span of _TC in-order chunks, +8 rows for the
-    # downward 8-row alignment of the DMA start, +12 rows of read guard
-    # (every window read spans <= 10 rows past the cursor). The row count
+    # downward 8-row alignment of the DMA start, +(R+4) rows of read guard
+    # (every window read spans <= R+2 rows past the cursor). The row count
     # must be a multiple of 8: DMAs into a scratch with a ragged final
     # sublane tile crash the TPU worker (tools/bisect2.py case E).
     span = max(p.bound, stride_span or 0)
-    tcb = ((_TC * span) // 128 + 8 + 12 + 7) // 8 * 8
+    tcb = ((_TC * span) // 128 + 8 + R + 4 + 7) // 8 * 8
     fblk = (-(-frame.shape[0] // 128) + tcb + 7) // 8 * 8
     frame_blocks = (
         jnp.pad(frame, (0, fblk * 128 - frame.shape[0])).astype(_I32).reshape(fblk, 128)
@@ -281,19 +282,19 @@ def decode_streams_from_frame(
         dma.wait()
 
         def decode_full_unit(c, is_raw, not_raw, u_is_first, cursor, prevg, bad, u):
-            w = _read_at(scratch, cursor, 9)
+            w = _read_at(scratch, cursor, R + 1)
             tag = w[0, 0]
-            lit_unit = _shift_static(w, p.lit_hdr, 8)
-            raw_unit = w[0:8]
+            lit_unit = _shift_static(w, p.lit_hdr, R)
+            raw_unit = w[0:R]
             if u_is_first:
                 is_run = (tag == seed_tag0) & not_raw
                 seed = _shift_static(w, 1, 1)[:, :G]
-                run_unit = _tile_g(seed, G)
+                run_unit = _tile_g(seed, G, R)
                 bad += _mismatch(w, pat_ref, n_pat, SEED, is_run)
                 adv_run = p.seed_size
             else:
                 is_run = (tag == copy_tag0) & not_raw
-                run_unit = _tile_g(prevg, G)
+                run_unit = _tile_g(prevg, G, R)
                 bad += _mismatch(w, pat_ref, n_pat, COPY, is_run)
                 adv_run = len(p.copy_pat)
             is_lit = not_raw & jnp.logical_not(is_run)
@@ -301,25 +302,25 @@ def decode_streams_from_frame(
             unit = jnp.where(
                 is_raw, raw_unit, jnp.where(is_run, run_unit, lit_unit)
             )
-            out_ref[c, pl.ds(u * 8, 8), :] = unit
-            prevg = unit[7:8, 128 - G :]
+            out_ref[c, pl.ds(u * R, R), :] = unit
+            prevg = unit[R - 1 : R, 128 - G :]
             cursor = cursor + jnp.where(
                 is_raw, U, jnp.where(is_run, adv_run, p.emit_max)
             )
             return cursor, prevg, bad
 
         def decode_tail(c, is_raw, not_raw, cursor, prevg, bad):
-            w = _read_at(scratch, cursor, 9)
+            w = _read_at(scratch, cursor, R + 1)
             tag = w[0, 0]
-            lit_unit = _shift_static(w, len(p.tail_hdr), 8)
+            lit_unit = _shift_static(w, len(p.tail_hdr), R)
             if n_full:
                 is_run = (tag == int(p.tail_copy_pat[0])) & not_raw
-                run_unit = _tile_g(prevg, G)
+                run_unit = _tile_g(prevg, G, R)
                 adv_run = len(p.tail_copy_pat)
             elif tail > G:
                 is_run = (tag == seed_tag0) & not_raw
                 seed = _shift_static(w, 1, 1)[:, :G]
-                run_unit = _tile_g(seed, G)
+                run_unit = _tile_g(seed, G, R)
                 adv_run = p.tail_seed_size
             else:
                 is_run = jnp.bool_(False)
@@ -329,9 +330,9 @@ def decode_streams_from_frame(
             is_lit = not_raw & jnp.logical_not(is_run)
             bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit)
             unit = jnp.where(
-                is_raw, w[0:8], jnp.where(is_run, run_unit, lit_unit)
+                is_raw, w[0:R], jnp.where(is_run, run_unit, lit_unit)
             )
-            out_ref[c, pl.ds(n_full * 8, 8), :] = unit
+            out_ref[c, pl.ds(n_full * R, R), :] = unit
             return cursor + jnp.where(
                 is_raw, tail, jnp.where(is_run, adv_run, p.tail_lit_size)
             ), bad
@@ -411,12 +412,12 @@ def decode_streams_from_frame(
         ],
         out_specs=(
             pl.BlockSpec(
-                (_TC, n_units_out * 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (_TC, n_units_out * R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((_TC, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, n_units_out * 8, 128), _I32),
+            jax.ShapeDtypeStruct((C, n_units_out * R, 128), _I32),
             jax.ShapeDtypeStruct((C, 128), _I32),
         ),
         scratch_shapes=[
@@ -428,10 +429,10 @@ def decode_streams_from_frame(
     ok = jnp.sum(badv[:C0], axis=1) == 0
     if out_words:
         assert S % 4 == 0
-        y = out.reshape(C, n_units_out * 256, 4).astype(jnp.uint32)
+        y = out.reshape(C, n_units_out * (U // 4), 4).astype(jnp.uint32)
         words = y[..., 0] | (y[..., 1] << 8) | (y[..., 2] << 16) | (y[..., 3] << 24)
         return words[:C0, : S // 4], ok
-    out = out.reshape(C, n_units_out * 1024)[:C0, :S].astype(jnp.uint8)
+    out = out.reshape(C, n_units_out * U)[:C0, :S].astype(jnp.uint8)
     return out, ok
 
 

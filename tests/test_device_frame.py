@@ -166,8 +166,10 @@ def test_device_frame_container_bytes_match_host(rng):
 
 
 def test_device_decode_flags_foreign_compressed(rng):
+    # Chunk size spans several structured units so a general-snappy stream
+    # (one whole-chunk literal) can't coincide with the structured profile.
     g = 16
-    payload = mixed_payload(rng, 1024 * g, g)
+    payload = mixed_payload(rng, 4096 * g, g)
     f_native = native.encode([payload.tobytes()], [TextureFormat.RGBA_DXT5], [1], [8])
     if parse_frame(f_native).textures[0].stored_compressor == 0xC:
         dec, ok = decode_frame_device(
