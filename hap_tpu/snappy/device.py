@@ -5,7 +5,7 @@ Byte-serial LZ parsing is the worst fit for a vector machine (SURVEY.md §7
 Snappy format — every stream is fully conforming (any spec-compliant
 decoder, including the reference's google-snappy, decodes it bit-exactly),
 but its element structure is chosen so that both emission and decoding
-vectorize: the chunk payload is processed in 2048-byte units — two full
+vectorize: the chunk payload is processed in 4096-byte units — four full
 (8, 128) VPU tiles per sequential kernel step.
 
 Unit flavors (sizes are static given S and G = the DXT block size):
@@ -46,7 +46,7 @@ import numpy as np
 _I32 = jnp.int32
 _U8 = jnp.uint8
 
-_UNIT = 2048  # output bytes per full unit (two (8, 128) VPU tiles)
+_UNIT = 4096  # output bytes per full unit (four (8, 128) VPU tiles)
 
 
 def _varint_bytes(value: int) -> np.ndarray:

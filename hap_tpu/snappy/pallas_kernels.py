@@ -3,7 +3,7 @@
 XLA's gather/scatter lowering costs ~8 ns per element on TPU, which caps
 byte-shuffling at ~0.1 GB/s — hopeless for the compaction and cursor-walk at
 the heart of a byte codec. These kernels move one full (8, 128) VPU tile
-(2048 bytes = 2 tiles) per sequential step: unaligned dynamic multi-row VMEM loads and
+(4096 bytes = 4 tiles) per sequential step: unaligned dynamic multi-row VMEM loads and
 stores plus dynamic lane rotates, all probed supported on this toolchain
 (tools/probe_wideunit.py).
 
@@ -26,7 +26,7 @@ Kernels:
   position in the chunk stream (read-modify-write row-window merges).
 * decode_streams_from_frame — decode-side: DMA a tile's contiguous chunk
   range from the HBM frame into VMEM scratch, then walk the structured
-  stream per chunk, one 2048-byte unit per step (profile: snappy/device.py).
+  stream per chunk, one 4096-byte unit per step (profile: snappy/device.py).
 * decode_streams — wrapper over decode_streams_from_frame for (C, B)
   per-chunk stream arrays.
 
@@ -78,30 +78,34 @@ def _shift_static(w, k, nrows):
     return jnp.where(_lane128() < 128 - k, rolled[:nrows], rolled[1 : nrows + 1])
 
 
-def _pat_rows(entries) -> np.ndarray:
-    """Static validation patterns as a (2*n, 128) int32 matrix.
+def _pat_rows(entries, pr: int = 1) -> np.ndarray:
+    """Static validation patterns as a (2*n*pr, 128) int32 matrix.
 
-    Each entry is a list of (offset, bytes) pieces combined into one row;
-    row i holds the expected byte values, row n+i the coverage mask.
-    (Pallas kernels cannot capture vector constants — these are an input.)
+    Each entry is a list of (offset, bytes) pieces spanning up to ``pr``
+    128-byte rows; rows [i*pr, (i+1)*pr) hold entry i's expected values,
+    rows n*pr+[i*pr, ...) its coverage mask. (Pallas kernels cannot capture
+    vector constants — these are an input.)
     """
     n = len(entries)
-    vals = np.zeros((n, 128), np.int32)
-    masks = np.zeros((n, 128), np.int32)
+    vals = np.zeros((n, pr * 128), np.int32)
+    masks = np.zeros((n, pr * 128), np.int32)
     for i, pieces in enumerate(entries):
         for off, pat in pieces:
+            assert off + len(pat) <= pr * 128, "pattern exceeds pr rows"
             vals[i, off : off + len(pat)] = pat
             masks[i, off : off + len(pat)] = 1
-    return np.concatenate([vals, masks], axis=0)
+    return np.concatenate([vals, masks], axis=0).reshape(2 * n * pr, 128)
 
 
-def _mismatch(w, pat_ref, n_pat: int, row: int, applicable) -> jnp.ndarray:
-    """(1,128) int32: nonzero lanes where row 0 of ``w`` deviates from
-    pattern ``row`` of the pattern matrix — only counted when
+def _mismatch(w, pat_ref, n_pat: int, row: int, applicable, pr: int = 1) -> jnp.ndarray:
+    """(1,128) int32: nonzero lanes where rows [0, pr) of ``w`` deviate from
+    pattern ``row`` of the (pr-row) pattern matrix — only counted when
     ``applicable``."""
-    bad = pat_ref[n_pat + row : n_pat + row + 1, :] * (
-        w[0:1, :] != pat_ref[row : row + 1, :]
-    ).astype(_I32)
+    vals = pat_ref[row * pr : (row + 1) * pr, :]
+    mask = pat_ref[(n_pat + row) * pr : (n_pat + row + 1) * pr, :]
+    bad = mask * (w[0:pr, :] != vals).astype(_I32)
+    if pr > 1:
+        bad = sum(bad[k : k + 1, :] for k in range(1, pr)) + bad[0:1, :]
     return jnp.where(applicable, bad, 0)
 
 
@@ -206,7 +210,7 @@ def decode_streams_from_frame(
 
     Each grid step DMAs its tile's contiguous byte range from the HBM frame
     into VMEM scratch (chunks are stored in order, so a tile's chunks are
-    contiguous) and walks the streams there, one 2048-byte unit per step.
+    contiguous) and walks the streams there, one 4096-byte unit per step.
     Raw-fallback chunks (hap.c:460-466) are copied through in the same unit
     loop. Returns ((C, S) uint8, (C,) bool ok), or with ``out_words`` set
     ((C, S//4) uint32 little-endian words, (C,) bool ok) — packed from the
@@ -261,6 +265,9 @@ def decode_streams_from_frame(
         trun = [(0, p.tail_seed_pat[:1]), (1 + G, p.tail_seed_pat[1:])]
     else:
         trun = []
+    # Pattern rows: the longest pattern (full-unit copy run, 3U/64 bytes)
+    # spans multiple 128-byte rows for U >= 4096.
+    PR = max(1, -(-(len(p.copy_pat)) // 128), -(-(G + len(p.seed_pat)) // 128))
     pats = _pat_rows([
         [(0, p.pre)],
         [(0, lit_tag)],
@@ -268,7 +275,7 @@ def decode_streams_from_frame(
         [(0, p.seed_pat[:1]), (1 + G, p.seed_pat[1:])],
         [(0, p.tail_hdr)],
         trun,
-    ])
+    ], PR)
     n_pat = 6
 
     def kernel(meta_ref, frame_ref, pat_ref, out_ref, ok_ref, scratch, sem):
@@ -290,15 +297,15 @@ def decode_streams_from_frame(
                 is_run = (tag == seed_tag0) & not_raw
                 seed = _shift_static(w, 1, 1)[:, :G]
                 run_unit = _tile_g(seed, G, R)
-                bad += _mismatch(w, pat_ref, n_pat, SEED, is_run)
+                bad += _mismatch(w, pat_ref, n_pat, SEED, is_run, PR)
                 adv_run = p.seed_size
             else:
                 is_run = (tag == copy_tag0) & not_raw
                 run_unit = _tile_g(prevg, G, R)
-                bad += _mismatch(w, pat_ref, n_pat, COPY, is_run)
+                bad += _mismatch(w, pat_ref, n_pat, COPY, is_run, PR)
                 adv_run = len(p.copy_pat)
             is_lit = not_raw & jnp.logical_not(is_run)
-            bad += _mismatch(w, pat_ref, n_pat, LIT, is_lit)
+            bad += _mismatch(w, pat_ref, n_pat, LIT, is_lit, PR)
             unit = jnp.where(
                 is_raw, raw_unit, jnp.where(is_run, run_unit, lit_unit)
             )
@@ -326,9 +333,9 @@ def decode_streams_from_frame(
                 is_run = jnp.bool_(False)
                 run_unit = lit_unit
                 adv_run = 0
-            bad += _mismatch(w, pat_ref, n_pat, TRUN, is_run)
+            bad += _mismatch(w, pat_ref, n_pat, TRUN, is_run, PR)
             is_lit = not_raw & jnp.logical_not(is_run)
-            bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit)
+            bad += _mismatch(w, pat_ref, n_pat, THDR, is_lit, PR)
             unit = jnp.where(
                 is_raw, w[0:R], jnp.where(is_run, run_unit, lit_unit)
             )
@@ -349,7 +356,7 @@ def decode_streams_from_frame(
 
             # varint(S) preamble of compressed streams
             bads = [
-                _mismatch(_read_at(scratch, off, 1), pat_ref, n_pat, PRE, nr)
+                _mismatch(_read_at(scratch, off, PR), pat_ref, n_pat, PRE, nr, PR)
                 for off, nr in zip(offs, nraws)
             ]
             cursors = [
@@ -407,7 +414,7 @@ def decode_streams_from_frame(
             pl.BlockSpec((_TC, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (2 * n_pat, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (2 * n_pat * PR, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(

@@ -166,10 +166,13 @@ def test_device_frame_container_bytes_match_host(rng):
 
 
 def test_device_decode_flags_foreign_compressed(rng):
-    # Chunk size spans several structured units so a general-snappy stream
-    # (one whole-chunk literal) can't coincide with the structured profile.
+    # Chunk size spans several structured units: when S == U, google-snappy
+    # output for whole-literal or whole-periodic chunks is byte-identical to
+    # the structured profile (legitimately ok=True), so force S = 2U.
+    from hap_tpu.snappy.device import _UNIT
+
     g = 16
-    payload = mixed_payload(rng, 4096 * g, g)
+    payload = mixed_payload(rng, 2 * _UNIT * 8, g)
     f_native = native.encode([payload.tobytes()], [TextureFormat.RGBA_DXT5], [1], [8])
     if parse_frame(f_native).textures[0].stored_compressor == 0xC:
         dec, ok = decode_frame_device(
