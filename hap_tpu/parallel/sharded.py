@@ -90,6 +90,37 @@ def sharded_spatial_encode(mesh: Mesh, codec: str = "hap_q") -> Callable:
     return fn
 
 
+def sharded_frame_roundtrip(
+    mesh: Mesh, codec: str = "hap_q", chunk_count: int = 64
+) -> Callable:
+    """Full-pipeline GOP data parallelism: jitted (B, H, W, C) uint8 ->
+    ((B, H, W, C) decoded, (B,) frame_len, (B,) ok), the batch axis sharded
+    over every mesh axis. Each chip runs the complete on-device pipeline
+    (pixels -> BCn -> snappy -> container -> back) on its local frames —
+    zero communication, legal because every Hap frame is independently
+    decodable (HapVideoDRAFT.md:29-32). This is the serving configuration
+    BASELINE.md's scaling metric measures.
+    """
+    from hap_tpu.pipeline.device_pipeline import roundtrip_pipeline
+
+    all_axes = tuple(mesh.axis_names)
+    spec = P(all_axes)
+
+    def local(frames):
+        # lax.map per frame, not the batched GOP formulation: measured 13.0
+        # vs 27.0 ms/frame at 4K on v5e (tools/profile_roundtrip_ab.py) —
+        # XLA pipelines the sequential per-frame program better than it
+        # schedules the frame-batched one on this toolchain.
+        return jax.lax.map(
+            lambda f: roundtrip_pipeline(f, codec, chunk_count), frames
+        )
+
+    sharded = shard_map(
+        local, mesh=mesh, in_specs=spec, out_specs=(spec,) * 3, check_vma=False
+    )
+    return jax.jit(sharded)
+
+
 def make_train_step(mesh: Mesh, codec: str = "hap_q") -> Callable:
     """Full pipeline step over a ("data", "space") mesh with explicit
 

@@ -79,20 +79,17 @@ def frame_layout(input_bytes: int, chunk_count: int, G: int):
     return S, dil, top_hdr, bound, payload_off, fmax + bound
 
 
-@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
-def encode_frame_device(
-    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(input_bytes,) uint8 DXT payload -> ((fmax,) uint8 frame, frame_len).
+def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
+    """Container assembly around precomputed per-chunk snappy streams.
 
-    chunk_count must already be legal (container.plan.legalize_chunk_count).
+    payload (input_bytes,) u8, comp (C, >=bound) u8, comp_len (C,) i32 ->
+    ((fmax,) u8 frame, frame_len). Shared by the single-frame and GOP
+    encoders; byte semantics = hap.c:355-504 (see encode_frame_device).
     """
     input_bytes = payload.shape[0]
     C = chunk_count
     S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
     chunks = payload.reshape(C, S)
-
-    comp, comp_len = snappy_encode_chunks(chunks, S, G)
     is_comp = comp_len < S  # per-chunk raw fallback (hap.c:460-466)
     emit_len = jnp.where(is_comp, comp_len, S)
     comp_byte = jnp.where(is_comp, CHUNK_COMPRESSOR_SNAPPY, CHUNK_COMPRESSOR_NONE).astype(_U8)
@@ -157,6 +154,45 @@ def encode_frame_device(
 
     frame, frame_len = jax.lax.cond(use_complex, build_complex, build_raw, None)
     return frame, frame_len.astype(_I32)
+
+
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+def encode_frame_device(
+    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(input_bytes,) uint8 DXT payload -> ((fmax,) uint8 frame, frame_len).
+
+    chunk_count must already be legal (container.plan.legalize_chunk_count).
+    """
+    C = chunk_count
+    S = payload.shape[0] // C
+    comp, comp_len = snappy_encode_chunks(payload.reshape(C, S), S, G)
+    return _assemble_frame(payload, comp, comp_len, C, fmt_id, G)
+
+
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+def encode_frames_device(
+    payloads: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GOP-batched encode: (B, input_bytes) -> ((B, fmax) frames, (B,) lens).
+
+    All B*C chunks run through the snappy emission builder and the Pallas
+    compaction kernel as ONE batch (one kernel grid instead of B sequential
+    dispatches); only the cheap per-frame container assembly is mapped.
+    Bytes are identical to encode_frame_device per frame.
+    """
+    B, input_bytes = payloads.shape
+    C = chunk_count
+    S = input_bytes // C
+    comp, comp_len = snappy_encode_chunks(payloads.reshape(B * C, S), S, G)
+    comp = comp.reshape(B, C, -1)
+    comp_len = comp_len.reshape(B, C)
+
+    def assemble(args):
+        payload, comp_b, comp_len_b = args
+        return _assemble_frame(payload, comp_b, comp_len_b, C, fmt_id, G)
+
+    return jax.lax.map(assemble, (payloads, comp, comp_len))
 
 
 @partial(
@@ -246,3 +282,100 @@ def decode_frame_device(
     is_complex = compressor == COMPRESSOR_COMPLEX
     out, okr = jax.lax.cond(is_raw, dec_raw, dec_complex, None)
     return out, okr & (is_raw | is_complex)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("input_bytes", "chunk_count", "fmt_id", "G", "out_words"),
+)
+def decode_frames_device(
+    frames: jnp.ndarray,
+    input_bytes: int,
+    chunk_count: int,
+    fmt_id: int,
+    G: int,
+    out_words: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GOP-batched decode: (B, >=fmax) frames -> ((B, input_bytes[//4]), (B,) ok).
+
+    All B*C chunks decode in ONE frame-direct Pallas grid over the flattened
+    GOP buffer. Raw-stored frames (compressor None, hap.c:478-495) route
+    through the same kernel as C raw chunks of size S at stride S — the
+    kernel's raw-unit path is exactly a strided copy — so no per-frame cond
+    is needed. Per-frame chunk tables are padded to the kernel's tile size so
+    DMA tiles never span a frame boundary.
+    """
+    from hap_tpu.snappy.pallas_kernels import _TC, decode_streams_from_frame
+
+    B = frames.shape[0]
+    C = chunk_count
+    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(input_bytes, C, G)
+    if frames.shape[1] < fmax:
+        frames = jnp.pad(frames, ((0, 0), (0, fmax - frames.shape[1])))
+    fstride = frames.shape[1]
+
+    type_byte = frames[:, 3]
+    compressor = (type_byte >> 4) & 0xF
+    fmt_ok = (type_byte & 0xF) == fmt_id
+    is_raw = compressor == COMPRESSOR_NONE
+    is_complex = compressor == COMPRESSOR_COMPLEX
+
+    # Batched table parse (static offsets; garbage for raw frames, unused).
+    okc = frames[:, top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
+    okc &= frames[:, top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
+    okc &= frames[:, top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
+    comp_table = frames[:, top_hdr + 8 : top_hdr + 8 + C]
+    size_bytes = (
+        frames[:, top_hdr + 12 + C : top_hdr + 12 + 5 * C]
+        .reshape(B, C, 4)
+        .astype(_I32)
+    )
+    sizes = (
+        size_bytes[:, :, 0]
+        | (size_bytes[:, :, 1] << 8)
+        | (size_bytes[:, :, 2] << 16)
+        | (size_bytes[:, :, 3] << 24)
+    )
+    is_comp = comp_table == CHUNK_COMPRESSOR_SNAPPY
+    okc &= jnp.all(is_comp | (comp_table == CHUNK_COMPRESSOR_NONE), axis=1)
+    okc &= jnp.all(sizes <= bound, axis=1)
+    sizes = jnp.minimum(sizes, bound)
+    positions = payload_off + jnp.concatenate(
+        [jnp.zeros((B, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
+    )
+
+    raw_sel = is_raw[:, None]
+    raw_positions = top_hdr + jnp.arange(C, dtype=_I32) * S
+    pos = jnp.where(raw_sel, raw_positions[None, :], positions)
+    csizes = jnp.where(raw_sel, S, sizes)
+    cis_comp = jnp.where(raw_sel, False, is_comp)
+
+    # Pad each frame's chunk list to a tile multiple (aliases of its last
+    # chunk) so kernel tiles never span frames; padded rows are dropped.
+    Cp = -(-C // _TC) * _TC
+    if Cp != C:
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[:, -1:], (B, Cp - C))], axis=1
+        )
+        csizes = jnp.concatenate(
+            [csizes, jnp.broadcast_to(csizes[:, -1:], (B, Cp - C))], axis=1
+        )
+        cis_comp = jnp.concatenate(
+            [cis_comp, jnp.broadcast_to(cis_comp[:, -1:], (B, Cp - C))], axis=1
+        )
+    pos = pos + (jnp.arange(B, dtype=_I32) * fstride)[:, None]
+
+    out, chunk_ok = decode_streams_from_frame(
+        frames.reshape(-1),
+        pos.reshape(-1),
+        csizes.reshape(-1),
+        cis_comp.reshape(-1),
+        S,
+        G,
+        out_words=out_words,
+    )
+    w = out.shape[-1]
+    out = out.reshape(B, Cp, w)[:, :C].reshape(B, C * w)
+    ok = jnp.all(chunk_ok.reshape(B, Cp)[:, :C], axis=1)
+    ok = fmt_ok & (is_raw | is_complex) & jnp.where(is_raw, True, okc) & ok
+    return out, ok

@@ -235,6 +235,149 @@ def decode_pipeline(
     return img, ok & ok1 & ok2
 
 
+def _encode_blocks_gop(codec: str, imgs: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*N, words_per_block) — batch folded into the block
+    axis, so the BCn/YCoCg kernels (all elementwise over their leading axis)
+    see one big batch."""
+    B = imgs.shape[0]
+    to_blocks = jax.vmap(image_to_blocks)
+    if codec == "hap":
+        blocks = to_blocks(imgs[..., :3])
+        return bc1_encode_blocks(blocks.reshape((-1,) + blocks.shape[2:]))
+    if codec == "hap_alpha":
+        blocks = to_blocks(imgs)
+        return bc3_encode_blocks(blocks.reshape((-1,) + blocks.shape[2:]))
+    if codec == "hap_q":
+        from hap_tpu.kernels.ycocg import rgb_to_cocgs_y
+
+        blocks = to_blocks(imgs[..., :3])
+        cocgs, y = rgb_to_cocgs_y(blocks.reshape((-1,) + blocks.shape[2:]))
+        return jnp.concatenate(
+            [bc4_encode_blocks(y), bc1_encode_blocks(cocgs)], axis=1
+        )
+    if codec == "hap_alpha_only":
+        chan = imgs if imgs.ndim == 3 else imgs[..., -1]
+        blocks = to_blocks(chan)
+        return bc4_encode_blocks(blocks.reshape((-1,) + blocks.shape[2:]))
+    if codec == "hap_r":
+        from hap_tpu.kernels.bc7 import bc7_encode_blocks
+
+        blocks = to_blocks(imgs)
+        return bc7_encode_blocks(blocks.reshape((-1,) + blocks.shape[2:]))
+    if codec == "hap_hdr":
+        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11, f32_to_half_bits
+
+        blocks = to_blocks(imgs.astype(jnp.float32))
+        return bc6h_encode_blocks_mode11(
+            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:]))
+        )
+    raise ValueError(codec)
+
+
+def _decode_blocks_gop(codec: str, words: jnp.ndarray, B: int, h: int, w: int):
+    """(B*N, wpb) words -> (B, H, W, C) pixels (batch folded into blocks)."""
+    to_image = jax.vmap(partial(blocks_to_image, height=h, width=w))
+
+    def unfold(blocks):
+        return to_image(blocks.reshape((B, -1) + blocks.shape[1:]))
+
+    if codec == "hap":
+        return unfold(bc1_decode_blocks(words)[0])
+    if codec == "hap_alpha":
+        return unfold(bc3_decode_blocks(words))
+    if codec == "hap_q":
+        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb
+
+        cocgs, _ = bc1_decode_blocks(words[:, 2:4], dxt1_punchthrough=False)
+        y = bc4_decode_blocks(words[:, 0:2])
+        return unfold(cocgs_y_to_rgb(cocgs, y))
+    if codec == "hap_alpha_only":
+        return unfold(bc4_decode_blocks(words))
+    if codec == "hap_r":
+        from hap_tpu.kernels.bc7 import bc7_decode_blocks
+
+        return unfold(bc7_decode_blocks(words))
+    if codec == "hap_hdr":
+        from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
+
+        return unfold(half_bits_to_f32(bc6h_decode_blocks(words)))
+    raise ValueError(codec)
+
+
+@partial(jax.jit, static_argnames=("codec", "chunk_count"))
+def encode_pipeline_gop(
+    imgs: jnp.ndarray, codec: str = "hap_q", chunk_count: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GOP-batched encode: (B, H, W, C) -> ((B, fmax) frames, (B,) lens).
+
+    Per-frame bytes are identical to encode_pipeline; the BCn plane and the
+    snappy byte plane each run as ONE batched computation over all frames.
+    NOTE: on the current v5e toolchain `jax.lax.map` over the per-frame
+    pipeline is ~2x FASTER than this formulation at 4K (13.0 vs 27.0
+    ms/frame, tools/profile_roundtrip_ab.py) — XLA pipelines the sequential
+    program better than it schedules the frame-batched one. Serving paths
+    (DeviceSession, sharded_frame_roundtrip, bench.py) therefore use
+    lax.map; these entry points remain the semantic batched API.
+    Multi-image codecs fall back to a map over the per-frame pipeline.
+    """
+    from hap_tpu.pipeline.device_frame import encode_frames_device
+
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) > 1:
+        return jax.lax.map(
+            lambda f: encode_pipeline(f, codec, chunk_count), imgs
+        )
+    B, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    fmt = fmts[0]
+    g = bytes_per_block(fmt)
+    cc = plan_chunks(h, w, fmt, chunk_count)
+    words = _encode_blocks_gop(codec, imgs)
+    payloads = unpack_u32_to_u8(words.reshape(B, -1))
+    return encode_frames_device(payloads, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+
+
+@partial(jax.jit, static_argnames=("codec", "height", "width", "chunk_count"))
+def decode_pipeline_gop(
+    frames: jnp.ndarray,
+    height: int,
+    width: int,
+    codec: str = "hap_q",
+    chunk_count: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GOP-batched decode: ((B, fmax) frames, dims) -> ((B, H, W, C), (B,) ok)."""
+    from hap_tpu.pipeline.device_frame import decode_frames_device
+
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) > 1:
+        return jax.lax.map(
+            lambda f: decode_pipeline(f, height, width, codec, chunk_count),
+            frames,
+        )
+    B = frames.shape[0]
+    fmt = fmts[0]
+    g = bytes_per_block(fmt)
+    nbytes = dxt_payload_bytes(width, height, fmt)
+    cc = plan_chunks(height, width, fmt, chunk_count)
+    words_flat, ok = decode_frames_device(
+        frames, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g, out_words=True
+    )
+    wpb = g // 4
+    words = words_flat.reshape(-1, wpb)
+    imgs = _decode_blocks_gop(codec, words, B, height, width)
+    return imgs, ok
+
+
+@partial(jax.jit, static_argnames=("codec", "chunk_count"))
+def roundtrip_pipeline_gop(
+    imgs: jnp.ndarray, codec: str = "hap_q", chunk_count: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GOP-batched encode + decode in one device computation."""
+    h, w = imgs.shape[1], imgs.shape[2]
+    frames, frame_lens = encode_pipeline_gop(imgs, codec, chunk_count)
+    out, ok = decode_pipeline_gop(frames, h, w, codec, chunk_count)
+    return out, frame_lens, ok
+
+
 @partial(jax.jit, static_argnames=("codec", "chunk_count"))
 def roundtrip_pipeline(
     img: jnp.ndarray, codec: str = "hap_q", chunk_count: int = 64

@@ -229,6 +229,39 @@ def _build_emissions(data: jnp.ndarray, S: int, G: int):
     return emit, size
 
 
+def _unit_sizes(data: jnp.ndarray, S: int, G: int) -> jnp.ndarray:
+    """(C, S) uint8 -> (C, n_units) int32 per-unit emission sizes.
+
+    The size alone identifies the unit flavor (literal / copy-run / seeded
+    — all distinct by construction), so this is the only per-unit metadata
+    the in-kernel emission composer needs."""
+    p = profile(S, G)
+    C = data.shape[0]
+    U, n_full, tail = p.U, p.n_full, p.tail
+    sizes = []
+    if n_full:
+        units = data[:, : n_full * U].reshape(C, n_full, U // G, G)
+        prevg = jnp.concatenate(
+            [units[:, :1, :1, :], units[:, :-1, -1:, :]], axis=1
+        )
+        is_run = _periodic(units, prevg)  # (C, n_full)
+        size = jnp.where(is_run, len(p.copy_pat), p.emit_max).astype(_I32)
+        s0 = jnp.where(is_run[:, 0], p.seed_size, p.emit_max).astype(_I32)
+        sizes.append(jnp.concatenate([s0[:, None], size[:, 1:]], axis=1))
+    if tail:
+        tunits = data[:, n_full * U :].reshape(C, tail // G, G)
+        t_size = jnp.full((C,), p.tail_lit_size, _I32)
+        if n_full:
+            prevg_t = data[:, n_full * U - G : n_full * U].reshape(C, 1, G)
+            t_run = _periodic(tunits, prevg_t)
+            t_size = jnp.where(t_run, len(p.tail_copy_pat), t_size)
+        elif tail > G:
+            t_run = _periodic(tunits, tunits[:, :1, :])
+            t_size = jnp.where(t_run, p.tail_seed_size, t_size)
+        sizes.append(t_size[:, None])
+    return jnp.concatenate(sizes, axis=1)
+
+
 @partial(jax.jit, static_argnames=("S", "G", "impl"))
 def snappy_encode_chunks(
     data: jnp.ndarray, S: int, G: int, impl: str = "pallas"
@@ -236,27 +269,33 @@ def snappy_encode_chunks(
     """(C, S) uint8 -> ((C, bound) uint8 streams, (C,) int32 lengths).
 
     Every output stream is a conforming Snappy encoding of its row.
-    impl="pallas" compacts the unit emissions with the Pallas kernel
-    (tile stores at scalar offsets); impl="xla" uses a scatter (slow on
-    TPU — ~8 ns/element — kept as a portable reference path). Both produce
-    byte-identical streams.
+    impl="pallas" composes and places unit emissions in a Pallas kernel
+    straight from the payload bytes; impl="xla" materializes the emissions
+    and scatters them (slow on TPU — ~8 ns/element — kept as a portable
+    reference path). Both produce byte-identical streams.
     """
     C = data.shape[0]
     p = profile(S, G)
     P = len(p.pre)
+
+    if impl == "pallas":
+        from hap_tpu.snappy.pallas_kernels import compact_streams_from_data
+
+        sizes = _unit_sizes(data, S, G)
+        positions = P + jnp.concatenate(
+            [jnp.zeros((C, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
+        )
+        comp_len = positions[:, -1] + sizes[:, -1]
+        out = compact_streams_from_data(data, positions, sizes, S, G, p.bound)
+        out = out.at[:, :P].set(jnp.asarray(p.pre)[None, :])
+        return out, comp_len
+
     emit, sizes = _build_emissions(data, S, G)
     n_units = emit.shape[1]
     positions = P + jnp.concatenate(
         [jnp.zeros((C, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
     )
     comp_len = positions[:, -1] + sizes[:, -1]
-
-    if impl == "pallas":
-        from hap_tpu.snappy.pallas_kernels import compact_streams
-
-        out = compact_streams(emit, positions, sizes, p.bound)
-        out = out.at[:, :P].set(jnp.asarray(p.pre)[None, :])
-        return out, comp_len
 
     within = jnp.arange(p.emit_max, dtype=_I32)
     idx = positions[:, :, None] + within[None, None, :]

@@ -115,44 +115,146 @@ def _tile_g(row_g, g, nrows=8):
     return jnp.broadcast_to(row, (nrows, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("out_width",))
-def compact_streams(
-    emissions: jnp.ndarray,  # (C, n_units, emit_max) uint8; true bytes lead
+def _shift_right(w, k: int):
+    """(R, 128) window -> (R+1, 128) of the same bytes placed at byte +k
+    (static k, 0 <= k < 128); leading k bytes and the final-row remainder
+    are zero."""
+    zrow = jnp.zeros((1, 128), _I32)
+    if k == 0:
+        return jnp.concatenate([w, zrow], axis=0)
+    rolled = pltpu.roll(w, k, 1)
+    a = jnp.concatenate([zrow, rolled], axis=0)
+    b = jnp.concatenate([rolled, zrow], axis=0)
+    return jnp.where(_lane128() >= k, b, a)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "G", "out_width"))
+def compact_streams_from_data(
+    data: jnp.ndarray,       # (C, S) uint8 chunk payloads
     positions: jnp.ndarray,  # (C, n_units) int32 byte offsets in the stream
     sizes: jnp.ndarray,      # (C, n_units) int32 emission sizes
+    S: int,
+    G: int,
     out_width: int,
 ) -> jnp.ndarray:
-    """Scatter-free stream compaction: returns (C, out_width) uint8."""
-    C0, n_units, emit_max = emissions.shape
-    erows = -(-emit_max // 128)
-    if C0 % _TC:
-        padc = _TC - C0 % _TC
-        emissions = jnp.pad(emissions, ((0, padc), (0, 0), (0, 0)))
+    """Encode-side stream compaction straight from the chunk payload.
+
+    Grid = (chunk tiles, units). Each step composes unit u's emission
+    in-register from the raw payload window — literal = [tag][4096 data
+    bytes], run = the static copy/seed pattern (+ the G seed bytes for
+    unit 0) — and merges it into the revisited per-tile output block at its
+    byte position. The unit flavor is recovered from its emission size
+    (sizes are distinct per flavor by construction, snappy/device.py).
+
+    Replaces a pre-materialized (C, n_units, emit_max) emissions array:
+    that form moved every payload byte through HBM twice more AND its
+    in+out VMEM blocks overflowed the 16 MB scoped-VMEM limit at GOP batch
+    sizes. Here the output block is revisited across the unit grid axis
+    (one resident copy) and the input block is one unit window.
+    """
+    from hap_tpu.snappy.device import profile
+
+    p = profile(S, G)
+    U, n_full, tail = p.U, p.n_full, p.tail
+    n_units = n_full + (1 if tail else 0)
+    R = U // 128
+    erows = -(-p.emit_max // 128)  # R + 1 (emit_max = U + 3-byte tag)
+    assert erows == R + 1
+    tc = _TC
+    C0 = data.shape[0]
+    if C0 % tc:
+        padc = tc - C0 % tc
+        data = jnp.pad(data, ((0, padc), (0, 0)))
         positions = jnp.pad(positions, ((0, padc), (0, 0)))
         sizes = jnp.pad(sizes, ((0, padc), (0, 0)))
-    C = emissions.shape[0]
-    emit_blocks = (
-        jnp.pad(emissions, ((0, 0), (0, 0), (0, erows * 128 - emit_max)))
-        .astype(_I32)
-        .reshape(C, n_units * erows, 128)
+    C = data.shape[0]
+    drows = n_units * R
+    data_blocks = (
+        jnp.pad(data, ((0, 0), (0, drows * 128 - S))).astype(_I32).reshape(C, drows, 128)
     )
     nblk = (-(-out_width // 128) + erows + 9) // 8 * 8
     meta = jnp.concatenate([positions, sizes], axis=1).astype(_I32)  # (C, 2n)
 
-    def kernel(meta_ref, emit_ref, out_ref):
-        out_ref[:] = jnp.zeros_like(out_ref)
+    # Pattern rows (values at their in-emission offsets): LIT/THDR tag bytes,
+    # COPY / TRUN run patterns, SEED with a gap for the inserted seed bytes.
+    k_full = p.lit_hdr
+    k_tail = len(p.tail_hdr) if tail else k_full
+    if tail and n_full:
+        trun = [(0, p.tail_copy_pat)]
+    elif tail and tail > G:
+        trun = [(0, p.tail_seed_pat[:1]), (1 + G, p.tail_seed_pat[1:])]
+    else:
+        trun = []
+    seed = [(0, p.seed_pat[:1]), (1 + G, p.seed_pat[1:])] if n_full else trun
+    LIT, COPY, SEED, THDR, TRUN = range(5)
+    entries = [
+        [(0, np.asarray([61 << 2, (U - 1) & 0xFF, (U - 1) >> 8], np.uint8))],
+        [(0, p.copy_pat)],
+        seed,
+        [(0, p.tail_hdr)] if tail else [],
+        trun,
+    ]
+    PR = max(
+        1,
+        max(
+            -(-int(off + len(pat)) // 128)
+            for pieces in entries
+            if pieces
+            for off, pat in pieces
+        ),
+    )
+    pats = _pat_rows(entries, PR)[: 5 * PR]  # values only, masks unused
+
+    def kernel(meta_ref, data_ref, pat_ref, out_ref):
+        u = pl.program_id(1)
+
+        @pl.when(u == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
         lane = _lane128()
         widx = (
             jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 0) * 128
             + jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 1)
         )
+        is_tail = (u == n_units - 1) & bool(tail)
+        is_first = u == 0
+        zrows = jnp.zeros((erows - PR, 128), _I32)
 
-        def place_unit(c, u):
+        def place_unit(c):
             pos = meta_ref[c, u]
             size = meta_ref[c, n_units + u]
+            d = data_ref[c]  # (R, 128) — unit u's payload window
+
+            # Literal emission: data at byte +k with the tag bytes leading.
+            lit = _shift_right(d, k_full)
+            tag = pat_ref[LIT * PR, :]
+            if tail and k_tail != k_full:
+                lit_t = _shift_right(d, k_tail)
+                lit = jnp.where(is_tail, lit_t, lit)
+            if tail:
+                tag = jnp.where(is_tail, pat_ref[THDR * PR, :], tag)
+            k_sel = jnp.where(is_tail, k_tail, k_full)
+            lit = jnp.concatenate(
+                [jnp.where(lane < k_sel, tag[None, :], lit[:1]), lit[1:]], axis=0
+            )
+
+            # Run emission: static pattern rows; unit 0 inserts seed bytes.
+            prow = jnp.where(is_tail, TRUN, jnp.where(is_first, SEED, COPY))
+            run = pat_ref[pl.ds(prow * PR, PR), :]
+            if n_full or (tail and tail > G):
+                seed_ins = pltpu.roll(d[:1], 1, 1)
+                run0 = jnp.where(
+                    is_first & (lane >= 1) & (lane < 1 + G), seed_ins, run[:1]
+                )
+                run = jnp.concatenate([run0, run[1:]], axis=0)
+            run = jnp.concatenate([run, zrows], axis=0)
+
+            lit_size = jnp.where(is_tail, p.tail_lit_size, p.emit_max)
+            e = jnp.where(size == lit_size, lit, run)
+
             blk = pos // 128
             r = pos - blk * 128
-            e = emit_ref[c, pl.ds(u * erows, erows), :]
             er = pltpu.roll(e, r, 1)
             zrow = jnp.zeros((1, 128), _I32)
             placed = jnp.where(
@@ -164,32 +266,28 @@ def compact_streams(
             cur = out_ref[c, pl.ds(blk, erows + 1), :]
             out_ref[c, pl.ds(blk, erows + 1), :] = jnp.where(m, placed, cur)
 
-        # J chunks interleaved per iteration: each chunk's unit placements
-        # are serial (adjacent units read-modify-write overlapping rows), so
-        # issuing J independent chains hides the RMW dependency latency.
-        def group_body(g, _):
-            def unit_body(u, _):
-                for j in range(_UJ):
-                    place_unit(g * _UJ + j, u)
-                return 0
-
-            return jax.lax.fori_loop(0, n_units, unit_body, 0)
-
-        jax.lax.fori_loop(0, _TC // _UJ, group_body, 0)
+        for c in range(tc):
+            place_unit(c)
 
     out = pl.pallas_call(
         kernel,
-        grid=(C // _TC,),
+        grid=(C // tc, n_units),
         in_specs=[
-            pl.BlockSpec((_TC, 2 * n_units), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (_TC, n_units * erows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tc, 2 * n_units), lambda i, u: (i, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec((tc, R, 128), lambda i, u: (i, u, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * PR, 128), lambda i, u: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TC, nblk, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tc, nblk, 128), lambda i, u: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((C, nblk, 128), _I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
         interpret=_interpret(),
-    )(meta, emit_blocks)
+    )(meta, data_blocks, jnp.asarray(pats))
     return out.reshape(C, nblk * 128)[:C0, :out_width].astype(jnp.uint8)
 
 

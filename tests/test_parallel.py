@@ -70,6 +70,21 @@ def test_train_step_collective_consistency(rng, mesh8):
     np.testing.assert_array_equal(np.asarray(words), ref_encode(blocks))
 
 
+def test_sharded_frame_roundtrip_matches_single_device(rng, mesh8):
+    from hap_tpu.parallel.sharded import sharded_frame_roundtrip
+    from hap_tpu.pipeline.device_pipeline import roundtrip_pipeline_gop
+
+    imgs = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    fn = sharded_frame_roundtrip(mesh8, "hap_q", chunk_count=2)
+    out, flen, ok = fn(jnp.asarray(imgs))
+    assert np.asarray(ok).all()
+    ref_out, ref_flen, ref_ok = jax.jit(
+        lambda x: roundtrip_pipeline_gop(x, "hap_q", 2)
+    )(jnp.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(flen), np.asarray(ref_flen))
+
+
 @pytest.mark.parametrize("n", [1, 2, 4, 8])
 def test_dryrun_multichip(n):
     import __graft_entry__ as ge

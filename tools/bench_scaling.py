@@ -26,13 +26,14 @@ def main():
     import jax.numpy as jnp
 
     from hap_tpu.parallel.mesh import make_mesh, mesh_shape_for
-    from hap_tpu.parallel.sharded import make_train_step
+    from hap_tpu.parallel.sharded import make_train_step, sharded_frame_roundtrip
 
     devices = jax.devices()
     rng = np.random.default_rng(0)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     frames_per_dev = 2
     nblocks = 32 * 16  # 512 blocks/frame (128x64 frame)
+    H, W = 64, 128  # full-pipeline frame size (keep CPU-mesh runs fast)
 
     results = []
     for n in counts:
@@ -52,7 +53,30 @@ def main():
             float(sse)  # host sync
         dt = (time.time() - t0) / iters
         fps = batch / dt
-        results.append({"devices": n, "mesh": [dp, sp], "frames_per_s": round(fps, 1)})
+
+        # Full pipeline (pixels -> container bytes -> pixels), pure frame DP
+        # over a flat n-device mesh.
+        fmesh = make_mesh(devices[:n], (n, 1))
+        rt = sharded_frame_roundtrip(fmesh, "hap_q", chunk_count=2)
+        fbatch = n * frames_per_dev
+        imgs = jnp.asarray(
+            rng.integers(0, 256, (fbatch, H, W, 3), dtype=np.uint8)
+        )
+        out, flen, ok = rt(imgs)
+        jax.block_until_ready(out)
+        assert np.asarray(ok).all()
+        t0 = time.time()
+        for _ in range(iters):
+            out, flen, ok = rt(imgs)
+            float(jnp.sum(flen))  # host sync
+        fdt = (time.time() - t0) / iters
+        ffps = fbatch / fdt
+
+        results.append({
+            "devices": n, "mesh": [dp, sp],
+            "frames_per_s": round(fps, 1),
+            "full_pipeline_frames_per_s": round(ffps, 1),
+        })
         print(json.dumps(results[-1]), flush=True)
 
     if len(results) > 1:
