@@ -16,6 +16,7 @@ TPU-shaped (SURVEY.md §2.3):
 
 from hap_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from hap_tpu.parallel.sharded import (
+    sharded_frame_roundtrip,
     sharded_gop_encode,
     sharded_spatial_encode,
     make_train_step,
@@ -24,6 +25,7 @@ from hap_tpu.parallel.sharded import (
 __all__ = [
     "make_mesh",
     "mesh_shape_for",
+    "sharded_frame_roundtrip",
     "sharded_gop_encode",
     "sharded_spatial_encode",
     "make_train_step",

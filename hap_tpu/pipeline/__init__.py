@@ -13,5 +13,13 @@ from hap_tpu.pipeline.codecs import (
     decode_frame,
     codec_for_frame,
 )
+from hap_tpu.pipeline.session import DeviceSession
 
-__all__ = ["CODECS", "HapCodec", "encode_frame", "decode_frame", "codec_for_frame"]
+__all__ = [
+    "CODECS",
+    "HapCodec",
+    "encode_frame",
+    "decode_frame",
+    "codec_for_frame",
+    "DeviceSession",
+]
