@@ -20,6 +20,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -117,6 +118,122 @@ def sharded_frame_roundtrip(
 
     sharded = shard_map(
         local, mesh=mesh, in_specs=spec, out_specs=(spec,) * 3, check_vma=False
+    )
+    return jax.jit(sharded)
+
+
+def sharded_spatial_roundtrip(
+    mesh: Mesh, height: int, width: int, codec: str = "hap_q",
+    chunk_count: int = 64,
+) -> Callable:
+    """ONE frame spatially sharded across all mesh devices, full pipeline.
+
+    The 4x4-block stream is striped over the flattened mesh; chunk
+    boundaries align to stripes (each device owns a run of chunks,
+    hap.c:285-298 guarantees chunks divide the block stream). Each device
+    BCn-encodes and snappy-compresses its own chunks, the per-chunk streams
+    ride an ICI all_gather, and every device assembles the identical
+    container (bit-identical to the single-device encode_pipeline frame).
+    Decode mirrors it: each device decodes its chunk range straight out of
+    the replicated frame buffer and the decoded stripes form the image.
+    This is the 16K-frame configuration of BASELINE.md (config 5).
+
+    Returns jitted ``rt(blocks) -> (decoded_blocks, frame, frame_len, ok)``
+    with ``blocks`` (N, 16, C) uint8 striped over the mesh; use
+    kernels.layout.image_to_blocks / blocks_to_image around it.
+    """
+    from hap_tpu.constants import (
+        CHUNK_COMPRESSOR_SNAPPY,
+        COMPRESSOR_COMPLEX,
+        COMPRESSOR_NONE,
+        CONSTANT_TO_FORMAT_ID,
+        TextureFormat,
+        bytes_per_block,
+    )
+    from hap_tpu.container.plan import dxt_payload_bytes, legalize_chunk_count
+    from hap_tpu.kernels.layout import unpack_u32_to_u8
+    from hap_tpu.pipeline.device_frame import _assemble_frame, frame_layout
+    from hap_tpu.snappy.device import snappy_encode_chunks
+    from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+
+    fmt = {
+        "hap": TextureFormat.RGB_DXT1,
+        "hap_alpha": TextureFormat.RGBA_DXT5,
+        "hap_q": TextureFormat.YCoCg_DXT5,
+        "hap_alpha_only": TextureFormat.A_RGTC1,
+    }[codec]
+    enc, dec, channels, wpb = _block_fns(codec)
+    g = bytes_per_block(fmt)
+    fmt_id = CONSTANT_TO_FORMAT_ID[fmt]
+    nbytes = dxt_payload_bytes(width, height, fmt)
+    cc = legalize_chunk_count(nbytes, fmt, chunk_count)
+    D = mesh.size
+    assert cc % D == 0, f"chunk count {cc} must divide over {D} devices"
+    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(nbytes, cc, g)
+    axes = tuple(mesh.axis_names)
+
+    def local(blocks_stripe):
+        # Encode my stripe: blocks -> words -> payload -> my chunk streams.
+        words = enc(blocks_stripe)  # (N/D, wpb)
+        payload = unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+        comp, comp_len = snappy_encode_chunks(payload.reshape(cc // D, S), S, g)
+
+        # Assemble the container from the gathered streams (every device
+        # holds the identical frame; the gathers ride ICI).
+        payload_all = jax.lax.all_gather(payload, axes, axis=0, tiled=True)
+        comp_all = jax.lax.all_gather(comp, axes, axis=0, tiled=True)
+        len_all = jax.lax.all_gather(comp_len, axes, axis=0, tiled=True)
+        frame, flen = _assemble_frame(payload_all, comp_all, len_all, cc, fmt_id, g)
+
+        # Decode my chunk range straight from the frame bytes.
+        msizes = mesh.devices.shape
+        d = sum(
+            jax.lax.axis_index(a) * int(np.prod(msizes[i + 1 :], dtype=int))
+            for i, a in enumerate(axes)
+        )
+        compressor = (frame[3].astype(jnp.int32) >> 4) & 0xF
+        is_raw_frame = compressor == COMPRESSOR_NONE
+        ok = ((frame[3].astype(jnp.int32) & 0xF) == fmt_id) & (
+            is_raw_frame | (compressor == COMPRESSOR_COMPLEX)
+        )
+        comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (cc,))
+        size_bytes = jax.lax.dynamic_slice(
+            frame, (top_hdr + 12 + cc,), (4 * cc,)
+        ).reshape(cc, 4).astype(jnp.int32)
+        sizes = (
+            size_bytes[:, 0] | (size_bytes[:, 1] << 8)
+            | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
+        )
+        sizes = jnp.minimum(sizes, bound)
+        positions = payload_off + jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(sizes[:-1])]
+        )
+        raw_positions = top_hdr + jnp.arange(cc, dtype=jnp.int32) * S
+        pos = jnp.where(is_raw_frame, raw_positions, positions)
+        csizes = jnp.where(is_raw_frame, S, sizes)
+        cis = jnp.where(
+            is_raw_frame, False, comp_table == CHUNK_COMPRESSOR_SNAPPY
+        )
+        lo = d * (cc // D)
+        my_pos = jax.lax.dynamic_slice(pos, (lo,), (cc // D,))
+        my_sizes = jax.lax.dynamic_slice(csizes, (lo,), (cc // D,))
+        my_is = jax.lax.dynamic_slice(cis, (lo,), (cc // D,))
+        dec_words, chunk_ok = decode_streams_from_frame(
+            frame, my_pos, my_sizes, my_is, S, g, out_words=True
+        )
+        ok &= jnp.all(chunk_ok)
+        # ok differs per device (each validated its own chunks): reduce to a
+        # genuinely replicated scalar before the P() out_spec.
+        ok = jax.lax.psum(jnp.logical_not(ok).astype(jnp.int32), axes) == 0
+        out_blocks = dec(dec_words.reshape(-1, wpb))
+        return out_blocks, frame, flen, ok
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axes),
+        out_specs=(P(axes), P(), P(), P()),
+        check_vma=False,
     )
     return jax.jit(sharded)
 

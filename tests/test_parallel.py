@@ -85,6 +85,44 @@ def test_sharded_frame_roundtrip_matches_single_device(rng, mesh8):
     np.testing.assert_array_equal(np.asarray(flen), np.asarray(ref_flen))
 
 
+@pytest.mark.parametrize("content", ["structured", "noise"])
+def test_sharded_spatial_roundtrip_bit_exact(rng, mesh8, content):
+    """One frame striped over 8 devices must produce the byte-identical
+    container and pixels as the single-device pipeline (noise content
+    exercises the whole-frame raw fallback through the sharded path)."""
+    from hap_tpu.parallel.sharded import sharded_spatial_roundtrip
+    from hap_tpu.pipeline.device_pipeline import encode_pipeline, decode_pipeline
+    from hap_tpu.kernels.layout import blocks_to_image, image_to_blocks
+
+    H, W = 32, 64
+    if content == "structured":
+        img = np.broadcast_to(
+            np.linspace(0, 255, W, dtype=np.uint8)[None, :, None], (H, W, 3)
+        ).copy()
+    else:
+        img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    rt = sharded_spatial_roundtrip(mesh8, H, W, "hap_q", chunk_count=8)
+    blocks = jax.jit(image_to_blocks)(jnp.asarray(img))
+    out_blocks, frame, flen, ok = rt(blocks)
+    assert bool(np.asarray(ok))
+
+    ref_frame, ref_len = jax.jit(lambda x: encode_pipeline(x, "hap_q", 8))(
+        jnp.asarray(img)
+    )
+    assert int(flen) == int(ref_len)
+    np.testing.assert_array_equal(
+        np.asarray(frame)[: int(flen)], np.asarray(ref_frame)[: int(ref_len)]
+    )
+    ref_img, ref_ok = jax.jit(lambda f: decode_pipeline(f, H, W, "hap_q", 8))(
+        ref_frame
+    )
+    assert bool(ref_ok)
+    out_img = np.asarray(
+        jax.jit(lambda b: blocks_to_image(b, H, W))(out_blocks)
+    )
+    np.testing.assert_array_equal(out_img, np.asarray(ref_img))
+
+
 @pytest.mark.parametrize("n", [1, 2, 4, 8])
 def test_dryrun_multichip(n):
     import __graft_entry__ as ge
