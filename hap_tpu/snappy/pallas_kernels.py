@@ -45,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _I32 = jnp.int32
 
-_TC = 8  # chunks per grid step
-_UJ = 2  # interleaved chunk chains per decode loop iteration (divides _TC)
+_TC = 8  # chunks per grid step (decode)
+_UJ = 4  # interleaved chunk chains per decode loop iteration (divides _TC)
 
 
 def _interpret() -> bool:
@@ -160,7 +160,11 @@ def compact_streams_from_data(
     R = U // 128
     erows = -(-p.emit_max // 128)  # R + 1 (emit_max = U + 3-byte tag)
     assert erows == R + 1
-    tc = _TC
+    # 16 chunks per grid step: the revisited output block is the only large
+    # VMEM tenant (tc x nblk x 128 int32, single instance), so a wider tile
+    # halves the sequential unit steps; 16 placements per step give the VPU
+    # independent chains to overlap the out-block RMW latency.
+    tc = 16
     C0 = data.shape[0]
     if C0 % tc:
         padc = tc - C0 % tc

@@ -29,4 +29,6 @@ jax.distributed.initialize(
 from hap_tpu.parallel import multihost
 
 shape, sse, ndev = multihost.run_multihost_step("hap_q")
-print(f"OK {ndev} {sse:.1f}", flush=True)
+flen, ok, crc = multihost.run_multihost_spatial("hap_q")
+assert ok
+print(f"OK {ndev} {sse:.1f} spatial {flen} {crc}", flush=True)
