@@ -32,7 +32,7 @@ import numpy as np
 H, W = 2160, 3840
 CHUNKS = 64
 BATCH = 16  # frames per dispatch (GOP slice)
-ITERS = 4  # timed dispatches
+ITERS = 8  # timed dispatches (median taken: the tunnel sync floor jitters)
 
 
 def log(*a):
@@ -90,13 +90,16 @@ def main():
     )
     assert np.asarray(ok).all()
 
-    t0 = time.time()
+    times = []
     for _ in range(ITERS):
+        t0 = time.time()
         out, flen, ok, cs = gop_roundtrip(batch)
         cs_host = float(cs)  # host sync every dispatch
-    dt = (time.time() - t0) / (ITERS * BATCH)
+        times.append(time.time() - t0)
+    dt = sorted(times)[ITERS // 2] / BATCH  # median: tunnel sync jitters
     mpix = H * W / dt / 1e6
-    log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s")
+    log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s "
+        f"(dispatch times {[f'{t*1000:.0f}' for t in sorted(times)]} ms)")
 
     out_np = np.asarray(out[0])
     mse = np.mean((out_np.astype(np.float64) - img_np.astype(np.float64)) ** 2)

@@ -87,19 +87,43 @@ def bc1_decode_blocks(words: jnp.ndarray, dxt1_punchthrough: bool = True):
         four_color = c0.astype(_I32) > c1.astype(_I32)
     else:
         four_color = jnp.ones(words.shape[0], dtype=jnp.bool_)
-    palette, opaque = _palette(c0, c1, four_color)
 
     shifts = (2 * jnp.arange(16, dtype=_U32))[None, :]  # (1, 16)
     codes = ((idx_word[:, None] >> shifts) & 0x3).astype(_I32)  # (N, 16)
-    # Palette select as a where-chain: per-row gathers lower to ~8ns/element
-    # on TPU while wheres are pure VPU traffic (measured ~30x faster here).
-    rgb = palette[:, 0][:, None, :]
-    alpha = opaque[:, 0][:, None]
-    for k in (1, 2, 3):
-        sel = codes == k
-        rgb = jnp.where(sel[:, :, None], palette[:, k][:, None, :], rgb)
-        alpha = jnp.where(sel, opaque[:, k][:, None], alpha)
-    return rgb.astype(jnp.uint8), (alpha * 255).astype(jnp.uint8)
+    # Palette values computed arithmetically from codes (per-row gathers
+    # lower to ~8ns/element on TPU; even the 3-deep where-chain over
+    # (N, 16, 3) palette entries loses to one fused multiply-add with the
+    # code->coefficient map selected on the scalar (N, 16) plane — codes
+    # 0/1 fold into the interpolation formula exactly: (3a+1)//3 == a).
+    r0, g0, b0 = expand565(c0)
+    r1, g1, b1 = expand565(c1)
+    e0 = jnp.stack([r0, g0, b0], axis=-1)[:, None, :]  # (N, 1, 3)
+    e1 = jnp.stack([r1, g1, b1], axis=-1)[:, None, :]
+    ca = jnp.where(
+        codes == 0, 3, jnp.where(codes == 2, 2, jnp.where(codes == 3, 1, 0))
+    )[:, :, None]  # (N, 16, 1)
+    v4 = (ca * e0 + (3 - ca) * e1 + 1) // 3
+    if dxt1_punchthrough:
+        # 3-color mode: codes {0,1,2,3} -> {e0, e1, (e0+e1+1)//2, 0}.
+        half = (e0 + e1 + 1) // 2
+        v3 = jnp.where(
+            (codes == 0)[:, :, None],
+            e0,
+            jnp.where(
+                (codes == 1)[:, :, None],
+                e1,
+                jnp.where((codes == 2)[:, :, None], half, 0),
+            ),
+        )
+        fc = four_color[:, None, None]
+        rgb = jnp.where(fc, v4, v3)
+        alpha = jnp.where(
+            four_color[:, None] | (codes != 3), jnp.uint8(255), jnp.uint8(0)
+        )
+    else:
+        rgb = v4
+        alpha = jnp.full(codes.shape, 255, jnp.uint8)
+    return rgb.astype(jnp.uint8), alpha
 
 
 def _principal_axis(px: jnp.ndarray, iters: int = 5) -> jnp.ndarray:

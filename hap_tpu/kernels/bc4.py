@@ -81,15 +81,22 @@ def bc4_codes(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def bc4_decode_blocks(words: jnp.ndarray) -> jnp.ndarray:
-    """(N, 2) uint32 BC4 blocks -> (N, 16) uint8 channel values."""
+    """(N, 2) uint32 BC4 blocks -> (N, 16) uint8 channel values.
+
+    Palette values are computed arithmetically from the codes (one fused
+    multiply-add per texel) instead of building an (N, 8) palette and
+    selecting through a 7-deep where-chain: codes 0/1 fold into the same
+    formula exactly ((7*a+3)//7 == a), so only the code->weight map needs
+    selects, on the scalar (N, 16) plane."""
     _, _, a0, a1 = _split_words(words)
-    palette = _palette8(a0, a1)  # (N, 8)
-    codes = bc4_codes(words)
-    # where-chain instead of gather (see bc1.py note on TPU gather cost)
-    vals = palette[:, 0][:, None]
-    for k in range(1, 8):
-        vals = jnp.where(codes == k, palette[:, k][:, None], vals)
-    return vals.astype(jnp.uint8)
+    k = bc4_codes(words)
+    a0e, a1e = a0[:, None], a1[:, None]
+    wa7 = jnp.where(k == 0, 7, jnp.where(k == 1, 0, 8 - k))
+    v7 = (wa7 * a0e + (7 - wa7) * a1e + 3) // 7
+    wa5 = jnp.where(k == 0, 5, jnp.where(k == 1, 0, jnp.maximum(6 - k, 0)))
+    v5 = (wa5 * a0e + (5 - wa5) * a1e + 2) // 5
+    v5 = jnp.where(k == 6, 0, jnp.where(k == 7, 255, v5))
+    return jnp.where((a0 > a1)[:, None], v7, v5).astype(jnp.uint8)
 
 
 def _pack_codes3(codes: jnp.ndarray, a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:

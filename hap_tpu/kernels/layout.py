@@ -74,3 +74,42 @@ def unpack_u32_to_u8(w: jnp.ndarray) -> jnp.ndarray:
 
     bytes4 = jax.lax.bitcast_convert_type(w, jnp.uint8)  # (..., k, 4)
     return bytes4.reshape(*w.shape[:-1], -1)
+
+
+def words_to_payload(words: jnp.ndarray) -> jnp.ndarray:
+    """Any-shape uint32 words -> (4k,) uint8 little-endian payload.
+
+    Reshapes to 128-lane rows before the bitcast: a (k, 4)-shaped bitcast
+    intermediate tiles each 4-byte row onto an (8, 128) vreg — 32x padding,
+    which XLA materializes at 16K frame sizes (a 15.8 GB HBM allocation)
+    when fusion doesn't elide it. The (m, 128, 4) form is layout-native.
+    """
+    import jax
+
+    flat = words.reshape(-1)
+    k = flat.shape[0]
+    pad = (-k) % 128
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    by = jax.lax.bitcast_convert_type(flat.reshape(-1, 128), jnp.uint8)
+    # Pin the (m, 512) u8 materialization: without the barrier XLA keeps the
+    # (m, 128, 4) bitcast shape through downstream converts and tiles its
+    # trailing dim onto (8, 128) vregs — 32x padding, a 15.8 GB HLO temp at
+    # 16K frame sizes.
+    by = jax.lax.optimization_barrier(by.reshape(-1, 512))
+    return by.reshape(-1)[: 4 * k]
+
+
+def payload_to_words(payload: jnp.ndarray) -> jnp.ndarray:
+    """(4k,) uint8 little-endian payload -> (k,) uint32 (lane-safe bitcast)."""
+    import jax
+
+    n = payload.shape[0]
+    assert n % 4 == 0
+    pad = (-n) % 512
+    if pad:
+        payload = jnp.pad(payload, (0, pad))
+    w = jax.lax.bitcast_convert_type(
+        payload.reshape(-1, 128, 4), jnp.uint32
+    )  # (m, 128)
+    return w.reshape(-1)[: n // 4]

@@ -151,7 +151,7 @@ def sharded_spatial_roundtrip(
         bytes_per_block,
     )
     from hap_tpu.container.plan import dxt_payload_bytes, legalize_chunk_count
-    from hap_tpu.kernels.layout import unpack_u32_to_u8
+    from hap_tpu.kernels.layout import words_to_payload
     from hap_tpu.pipeline.device_frame import _assemble_frame, frame_layout
     from hap_tpu.snappy.device import snappy_encode_chunks
     from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
@@ -175,7 +175,7 @@ def sharded_spatial_roundtrip(
     def local(blocks_stripe):
         # Encode my stripe: blocks -> words -> payload -> my chunk streams.
         words = enc(blocks_stripe)  # (N/D, wpb)
-        payload = unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+        payload = words_to_payload(words)
         comp, comp_len = snappy_encode_chunks(payload.reshape(cc // D, S), S, g)
 
         # Assemble the container from the gathered streams (every device

@@ -228,44 +228,53 @@ def decode_frame_device(
     type_byte = frame[3]
     compressor = (type_byte >> 4) & 0xF
     ok = (type_byte & 0xF) == fmt_id
+    is_raw = compressor == COMPRESSOR_NONE
+    is_complex = compressor == COMPRESSOR_COMPLEX
 
     def _to_words(payload_u8):
-        from hap_tpu.kernels.layout import pack_u8_to_u32
+        from hap_tpu.kernels.layout import payload_to_words
 
-        return pack_u8_to_u32(payload_u8.reshape(-1, 4)).reshape(-1)
+        return payload_to_words(payload_u8)
+
+    # Table parse (garbage for raw frames; overridden below).
+    okc = frame[top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
+    okc &= frame[top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
+    okc &= frame[top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
+    comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (C,))
+    size_bytes = jax.lax.dynamic_slice(frame, (top_hdr + 12 + C,), (4 * C,)).reshape(C, 4).astype(_I32)
+    sizes = size_bytes[:, 0] | (size_bytes[:, 1] << 8) | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
+    is_comp = comp_table == CHUNK_COMPRESSOR_SNAPPY
+    okc &= jnp.all(is_comp | (comp_table == CHUNK_COMPRESSOR_NONE))
+    okc &= jnp.all(sizes <= bound)
+    sizes = jnp.minimum(sizes, bound)
+    positions = payload_off + jnp.concatenate(
+        [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
+    )
+    import os
+
+    if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
+        from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+
+        # One unified kernel route: raw-stored frames (compressor None,
+        # hap.c:478-495) become C raw chunks of size S at stride S — the
+        # kernel's raw-unit path is exactly a strided copy, and it packs
+        # out_words in-register (a host-side byte->word repack of a raw
+        # payload costs a 32x-padded relayout at 16K sizes).
+        raw_positions = top_hdr + jnp.arange(C, dtype=_I32) * S
+        pos = jnp.where(is_raw, raw_positions, positions)
+        csizes = jnp.where(is_raw, S, sizes)
+        cis = jnp.where(is_raw, False, is_comp)
+        out, chunk_ok = decode_streams_from_frame(
+            frame, pos, csizes, cis, S, G, out_words=out_words
+        )
+        okr = jnp.where(is_raw, True, okc) & jnp.all(chunk_ok)
+        return out.reshape(-1), okr & ok & (is_raw | is_complex)
 
     def dec_raw(_):
         payload = jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,))
         return (_to_words(payload) if out_words else payload), ok
 
     def dec_complex(_):
-        from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
-
-        okc = ok
-        okc &= frame[top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
-        okc &= frame[top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
-        okc &= frame[top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
-        comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (C,))
-        size_bytes = jax.lax.dynamic_slice(frame, (top_hdr + 12 + C,), (4 * C,)).reshape(C, 4).astype(_I32)
-        sizes = size_bytes[:, 0] | (size_bytes[:, 1] << 8) | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
-        is_comp = comp_table == CHUNK_COMPRESSOR_SNAPPY
-        okc &= jnp.all(is_comp | (comp_table == CHUNK_COMPRESSOR_NONE))
-        okc &= jnp.all(sizes <= bound)
-        sizes = jnp.minimum(sizes, bound)
-        positions = payload_off + jnp.concatenate(
-            [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
-        )
-        import os
-
-        if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
-            # Frame-direct DMA kernel: decodes straight out of the frame
-            # buffer, skipping the C-step window-extraction scan.
-            out, chunk_ok = decode_streams_from_frame(
-                frame, positions, sizes, is_comp, S, G, out_words=out_words
-            )
-            okc &= jnp.all(chunk_ok)
-            return out.reshape(-1), okc
-
         def body(_, c):
             win = jax.lax.dynamic_slice(frame, (positions[c],), (bound,))
             return None, win
@@ -274,12 +283,10 @@ def decode_frame_device(
         dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
         raw = windows[:, :S]
         out = jnp.where(is_comp[:, None], dec, raw)
-        okc &= jnp.all(chunk_ok | ~is_comp)
+        okd = ok & okc & jnp.all(chunk_ok | ~is_comp)
         out = out.reshape(-1)
-        return (_to_words(out) if out_words else out), okc
+        return (_to_words(out) if out_words else out), okd
 
-    is_raw = compressor == COMPRESSOR_NONE
-    is_complex = compressor == COMPRESSOR_COMPLEX
     out, okr = jax.lax.cond(is_raw, dec_raw, dec_complex, None)
     return out, okr & (is_raw | is_complex)
 

@@ -28,7 +28,7 @@ from hap_tpu.kernels.bc4 import bc4_decode_blocks, bc4_encode_blocks
 from hap_tpu.kernels.layout import (
     blocks_to_image,
     image_to_blocks,
-    unpack_u32_to_u8,
+    words_to_payload,
 )
 from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
 from hap_tpu.pipeline.device_frame import (
@@ -116,7 +116,7 @@ def _encode_texture_device(img, codec, fmt, chunk_count):
     g = bytes_per_block(fmt)
     cc = plan_chunks(h, w, fmt, chunk_count)
     words = _encode_blocks(codec, img)
-    payload = unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+    payload = words_to_payload(words)
     return encode_frame_device(payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
 
 
@@ -332,7 +332,7 @@ def encode_pipeline_gop(
     g = bytes_per_block(fmt)
     cc = plan_chunks(h, w, fmt, chunk_count)
     words = _encode_blocks_gop(codec, imgs)
-    payloads = unpack_u32_to_u8(words.reshape(B, -1))
+    payloads = words_to_payload(words).reshape(B, -1)
     return encode_frames_device(payloads, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
 
 

@@ -279,8 +279,15 @@ def snappy_encode_chunks(
     P = len(p.pre)
 
     if impl == "pallas":
-        from hap_tpu.snappy.pallas_kernels import compact_streams_from_data
+        from hap_tpu.snappy.pallas_kernels import (
+            compact_fits_vmem,
+            compact_streams_from_data,
+        )
 
+        if not compact_fits_vmem(p.bound, p.emit_max):
+            impl = "xla"  # huge chunks: kernel output block exceeds VMEM
+
+    if impl == "pallas":
         sizes = _unit_sizes(data, S, G)
         positions = P + jnp.concatenate(
             [jnp.zeros((C, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1

@@ -115,6 +115,16 @@ def _tile_g(row_g, g, nrows=8):
     return jnp.broadcast_to(row, (nrows, 128))
 
 
+def compact_fits_vmem(out_width: int, emit_max: int) -> bool:
+    """True when the compaction kernel's output block fits scoped VMEM at
+    tile width 8, assuming Mosaic double-buffers it (it does at long
+    grids); callers fall back to the XLA scatter path otherwise (huge
+    chunks, e.g. a 16K frame at tiny chunk counts)."""
+    erows = -(-emit_max // 128)
+    nblk_bytes = ((-(-out_width // 128) + erows + 9) // 8 * 8) * 128 * 4
+    return 2 * 8 * nblk_bytes <= 15 << 20
+
+
 def _shift_right(w, k: int):
     """(R, 128) window -> (R+1, 128) of the same bytes placed at byte +k
     (static k, 0 <= k < 128); leading k bytes and the final-row remainder
@@ -160,11 +170,18 @@ def compact_streams_from_data(
     R = U // 128
     erows = -(-p.emit_max // 128)  # R + 1 (emit_max = U + 3-byte tag)
     assert erows == R + 1
-    # 16 chunks per grid step: the revisited output block is the only large
-    # VMEM tenant (tc x nblk x 128 int32, single instance), so a wider tile
-    # halves the sequential unit steps; 16 placements per step give the VPU
-    # independent chains to overlap the out-block RMW latency.
-    tc = 16
+    # 8 chunks per grid step. The output block (tc x nblk x 128 int32) is
+    # the big VMEM tenant and Mosaic MAY double-buffer it depending on grid
+    # length (observed: single-buffered at short grids, double at 16K-scale
+    # grids), so the budget assumes 2 copies — tc=16 fits only
+    # single-buffered and OOMs on large frames. compact_fits_vmem() gates
+    # the caller onto the XLA path for chunk shapes too big even at tc=8.
+    nblk_bytes = ((-(-out_width // 128) + erows + 9) // 8 * 8) * 128 * 4
+    tc = 8
+    assert compact_fits_vmem(out_width, p.emit_max), (
+        f"chunk stream bound {out_width} too large for the compaction "
+        "kernel's VMEM output block; use more chunks or impl='xla'"
+    )
     C0 = data.shape[0]
     if C0 % tc:
         padc = tc - C0 % tc
