@@ -37,16 +37,18 @@ class DeviceSession:
         codec: str = "hap_q",
         chunk_count: int = 64,
         batch: int = 4,
+        effort: str = "high",
     ):
         self.height, self.width = height, width
         self.codec = codec
         self.chunk_count = chunk_count
         self.batch = batch
+        self.effort = effort
 
         @jax.jit
         def _encode_gop(frames):
             buf, flen = jax.lax.map(
-                lambda f: encode_pipeline(f, codec, chunk_count), frames
+                lambda f: encode_pipeline(f, codec, chunk_count, effort), frames
             )
             return buf, flen, jnp.sum(flen)
 
@@ -61,7 +63,7 @@ class DeviceSession:
         @jax.jit
         def _roundtrip_gop(frames):
             out, flen, ok = jax.lax.map(
-                lambda f: roundtrip_pipeline(f, codec, chunk_count), frames
+                lambda f: roundtrip_pipeline(f, codec, chunk_count, effort), frames
             )
             return out, flen, ok, jnp.sum(flen) + jnp.sum(ok)
 

@@ -52,3 +52,21 @@ def test_snappy_xla_fallback_impl(rng):
         )
         assert np.asarray(ok).all(), impl
         np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_session_fast_effort_roundtrips():
+    import numpy as np
+    from hap_tpu.pipeline.session import DeviceSession
+    from hap_tpu.utils import EncodeConfig, psnr
+    import pytest
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 200, (2, 24, 40, 3), dtype=np.uint8)
+    out, flen, ok = DeviceSession(24, 40, "hap_q", 2, effort="fast").roundtrip(imgs)
+    assert ok.all()
+    # fast effort must stay within a small PSNR margin of high effort
+    out_hi, _, ok_hi = DeviceSession(24, 40, "hap_q", 2, effort="high").roundtrip(imgs)
+    assert ok_hi.all()
+    assert psnr(imgs, out) >= psnr(imgs, out_hi) - 1.0
+    with pytest.raises(ValueError):
+        EncodeConfig(effort="ultra")
