@@ -22,8 +22,9 @@ Mosaic constraints shape the design (probed on v5e):
   metadata into ONE SMEM operand and returns ok via VMEM.
 
 Kernels:
-* compact_streams — encode-side: place each unit's emission at its byte
-  position in the chunk stream (read-modify-write row-window merges).
+* compact_streams_from_data — encode-side: compose each unit's emission
+  in-register from the raw payload and place it at its byte position in
+  the chunk stream (read-modify-write row-window merges).
 * decode_streams_from_frame — decode-side: DMA a tile's contiguous chunk
   range from the HBM frame into VMEM scratch, then walk the structured
   stream per chunk, one 4096-byte unit per step (profile: snappy/device.py).
