@@ -97,22 +97,28 @@ def bc1_decode_blocks(words: jnp.ndarray, dxt1_punchthrough: bool = True):
     # 0/1 fold into the interpolation formula exactly: (3a+1)//3 == a).
     r0, g0, b0 = expand565(c0)
     r1, g1, b1 = expand565(c1)
-    e0 = jnp.stack([r0, g0, b0], axis=-1)[:, None, :]  # (N, 1, 3)
-    e1 = jnp.stack([r1, g1, b1], axis=-1)[:, None, :]
+    # Palette math in f32: the VPU is f32-native and int32 multiply/divide
+    # lower to slow op sequences. floor((ca*e0 + (3-ca)*e1 + 1) / 3) is
+    # EXACT here: operands <= 766 (< 2^24, exactly representable), and for
+    # x = 3k + r the f32 quotient x/3 errs by << 1/3, so the floor never
+    # crosses an integer — bit-identical to the int rule (2a + b + 1) // 3.
+    e0 = jnp.stack([r0, g0, b0], axis=-1)[:, None, :].astype(_F32)  # (N, 1, 3)
+    e1 = jnp.stack([r1, g1, b1], axis=-1)[:, None, :].astype(_F32)
     ca = jnp.where(
-        codes == 0, 3, jnp.where(codes == 2, 2, jnp.where(codes == 3, 1, 0))
-    )[:, :, None]  # (N, 16, 1)
-    v4 = (ca * e0 + (3 - ca) * e1 + 1) // 3
+        codes == 0, 3.0, jnp.where(codes == 2, 2.0, jnp.where(codes == 3, 1.0, 0.0))
+    )[:, :, None].astype(_F32)  # (N, 16, 1)
+    v4 = jnp.floor((ca * e0 + (3.0 - ca) * e1 + 1.0) * (1.0 / 3.0))
     if dxt1_punchthrough:
-        # 3-color mode: codes {0,1,2,3} -> {e0, e1, (e0+e1+1)//2, 0}.
-        half = (e0 + e1 + 1) // 2
+        # 3-color mode: codes {0,1,2,3} -> {e0, e1, (e0+e1+1)//2, 0};
+        # *0.5 is exact in binary floating point.
+        half = jnp.floor((e0 + e1 + 1.0) * 0.5)
         v3 = jnp.where(
             (codes == 0)[:, :, None],
             e0,
             jnp.where(
                 (codes == 1)[:, :, None],
                 e1,
-                jnp.where((codes == 2)[:, :, None], half, 0),
+                jnp.where((codes == 2)[:, :, None], half, 0.0),
             ),
         )
         fc = four_color[:, None, None]

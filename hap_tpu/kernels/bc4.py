@@ -90,12 +90,17 @@ def bc4_decode_blocks(words: jnp.ndarray) -> jnp.ndarray:
     selects, on the scalar (N, 16) plane."""
     _, _, a0, a1 = _split_words(words)
     k = bc4_codes(words)
-    a0e, a1e = a0[:, None], a1[:, None]
-    wa7 = jnp.where(k == 0, 7, jnp.where(k == 1, 0, 8 - k))
-    v7 = (wa7 * a0e + (7 - wa7) * a1e + 3) // 7
-    wa5 = jnp.where(k == 0, 5, jnp.where(k == 1, 0, jnp.maximum(6 - k, 0)))
-    v5 = (wa5 * a0e + (5 - wa5) * a1e + 2) // 5
-    v5 = jnp.where(k == 6, 0, jnp.where(k == 7, 255, v5))
+    # f32 palette math (VPU-native; int32 mul/div lower to slow sequences).
+    # floor((wa*a0 + (7-wa)*a1 + 3) / 7) is exact: operands <= 1788 (< 2^24)
+    # and the f32 quotient of m/7 errs by << 1/7, so the floor never crosses
+    # an integer — bit-identical to the +3//7 (and +2//5) integer rules.
+    a0f, a1f = a0[:, None].astype(_F32), a1[:, None].astype(_F32)
+    kf = k.astype(_F32)
+    wa7 = jnp.where(k == 0, 7.0, jnp.where(k == 1, 0.0, 8.0 - kf))
+    v7 = jnp.floor((wa7 * a0f + (7.0 - wa7) * a1f + 3.0) * (1.0 / 7.0))
+    wa5 = jnp.where(k == 0, 5.0, jnp.where(k == 1, 0.0, jnp.maximum(6.0 - kf, 0.0)))
+    v5 = jnp.floor((wa5 * a0f + (5.0 - wa5) * a1f + 2.0) * (1.0 / 5.0))
+    v5 = jnp.where(k == 6, 0.0, jnp.where(k == 7, 255.0, v5))
     return jnp.where((a0 > a1)[:, None], v7, v5).astype(jnp.uint8)
 
 

@@ -271,3 +271,20 @@ def test_ycocg_hapq_pipeline_quality():
     q = psnr(img, out)
     # Hap Q should beat plain BC1 on quality.
     assert q > 38.0, f"Hap Q PSNR too low: {q:.2f} dB"
+
+
+def test_f32_reciprocal_palette_math_exhaustive():
+    """The decode kernels compute (w*a + (wmax-w)*b + bias) // div as
+    floor(m * f32(1/div)) (VPU-native f32 instead of slow int32 mul/div).
+    Exhaustive proof over the full operand space that the f32 form equals
+    integer division for every divisor the BCn palettes use."""
+    f32 = np.float32
+    for div, bias, wmax in ((3, 1, 3), (7, 3, 7), (5, 2, 5), (2, 1, 1)):
+        recip = f32(1.0) / f32(div)
+        w = np.arange(0, wmax + 1, dtype=np.int64)[:, None, None]
+        a = np.arange(256, dtype=np.int64)[None, :, None]
+        b = np.arange(256, dtype=np.int64)[None, None, :]
+        m = w * a + (wmax - w) * b + bias if div != 2 else a + b + bias
+        ref = m // div
+        got = np.floor((m.astype(f32) * recip).astype(f32)).astype(np.int64)
+        assert (got == ref).all(), div
