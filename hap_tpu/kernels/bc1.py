@@ -53,11 +53,16 @@ def _palette(c0: jnp.ndarray, c1: jnp.ndarray, four_color: jnp.ndarray):
     """
     r0, g0, b0 = expand565(c0)
     r1, g1, b1 = expand565(c1)
-    e0 = jnp.stack([r0, g0, b0], axis=-1)  # (N, 3)
-    e1 = jnp.stack([r1, g1, b1], axis=-1)
-    p2_4 = (2 * e0 + e1 + 1) // 3
-    p3_4 = (e0 + 2 * e1 + 1) // 3
-    p2_3 = (e0 + e1 + 1) // 2
+    e0i = jnp.stack([r0, g0, b0], axis=-1)  # (N, 3)
+    e1i = jnp.stack([r1, g1, b1], axis=-1)
+    # f32 interpolation with exact floor semantics (see bc1_decode_blocks /
+    # test_f32_reciprocal_palette_math_exhaustive) — int32 div is slow on
+    # the VPU and these run inside every encoder refinement round.
+    e0f, e1f = e0i.astype(_F32), e1i.astype(_F32)
+    p2_4 = jnp.floor((2.0 * e0f + e1f + 1.0) * (1.0 / 3.0)).astype(_I32)
+    p3_4 = jnp.floor((e0f + 2.0 * e1f + 1.0) * (1.0 / 3.0)).astype(_I32)
+    p2_3 = jnp.floor((e0f + e1f + 1.0) * 0.5).astype(_I32)
+    e0, e1 = e0i, e1i
     p3_3 = jnp.zeros_like(e0)
     fc = four_color[:, None]
     p2 = jnp.where(fc, p2_4, p2_3)

@@ -35,8 +35,16 @@ def _palette8(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
     ks = jnp.arange(8, dtype=_I32)[None, :]  # (1, 8)
     a0e = a0[:, None]
     a1e = a1[:, None]
-    interp7 = ((8 - ks) * a0e + (ks - 1) * a1e + 3) // 7  # valid for k>=2
-    interp5 = ((6 - ks) * a0e + (ks - 1) * a1e + 2) // 5
+    # f32 interpolation with exact floor semantics (see bc4_decode_blocks /
+    # test_f32_reciprocal_palette_math_exhaustive).
+    ksf = ks.astype(_F32)
+    a0f, a1f = a0e.astype(_F32), a1e.astype(_F32)
+    interp7 = jnp.floor(
+        ((8.0 - ksf) * a0f + (ksf - 1.0) * a1f + 3.0) * (1.0 / 7.0)
+    ).astype(_I32)  # valid for k>=2
+    interp5 = jnp.floor(
+        ((6.0 - ksf) * a0f + (ksf - 1.0) * a1f + 2.0) * (1.0 / 5.0)
+    ).astype(_I32)
     pal7 = jnp.where(ks == 0, a0e, jnp.where(ks == 1, a1e, interp7))
     pal5 = jnp.where(
         ks == 0,
