@@ -208,6 +208,9 @@ def sharded_spatial_roundtrip(
         positions = payload_off + jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(sizes[:-1])]
         )
+        from hap_tpu.pipeline.device_frame import _top_length_ok
+
+        ok &= _top_length_ok(frame, top_hdr, is_raw_frame, nbytes, dil, jnp.sum(sizes))
         raw_positions = top_hdr + jnp.arange(cc, dtype=jnp.int32) * S
         pos = jnp.where(is_raw_frame, raw_positions, positions)
         csizes = jnp.where(is_raw_frame, S, sizes)

@@ -79,6 +79,43 @@ def frame_layout(input_bytes: int, chunk_count: int, G: int):
     return S, dil, top_hdr, bound, payload_off, fmax + bound
 
 
+def _le3_eq(frames, off: int, value: int):
+    """frames (..., F) u8: 3-byte little-endian field at ``off`` == value."""
+    b = frames[..., off : off + 3].astype(_I32)
+    return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)) == value
+
+
+def _inner_headers_ok(frames, top_hdr: int, C: int, dil: int):
+    """Validate the Decode Instructions / Compressor Table / Size Table
+    section headers' declared LENGTHS (their type bytes are checked by the
+    callers) — the reference cross-checks all three against the chunk count
+    (hap.c:688-716)."""
+    return (
+        _le3_eq(frames, top_hdr, dil)
+        & _le3_eq(frames, top_hdr + 4, C)
+        & _le3_eq(frames, top_hdr + 8 + C, 4 * C)
+    )
+
+
+def _top_length_ok(frames, top_hdr, is_raw, input_bytes, dil, payload_total):
+    """Validate the top section header's declared length against the actual
+    content — the reference rejects sections extending past the buffer
+    (hap.c:178-184). frames (..., F) u8; is_raw/payload_total broadcastable.
+
+    Complex frames must declare 4 + dil + sum(chunk sizes); raw frames must
+    declare input_bytes; the 8-byte form's leading 3 bytes must be zero.
+    """
+    b = frames[..., :8].astype(_I32)
+    if top_hdr == 8:
+        declared = b[..., 4] | (b[..., 5] << 8) | (b[..., 6] << 16) | (b[..., 7] << 24)
+        hdr_ok = (b[..., 0] == 0) & (b[..., 1] == 0) & (b[..., 2] == 0)
+    else:
+        declared = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+        hdr_ok = jnp.ones(frames.shape[:-1], jnp.bool_)
+    expected = jnp.where(is_raw, input_bytes, 4 + dil + payload_total)
+    return hdr_ok & (declared == expected)
+
+
 def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
     """Container assembly around precomputed per-chunk snappy streams.
 
@@ -240,6 +277,7 @@ def decode_frame_device(
     okc = frame[top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
     okc &= frame[top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
     okc &= frame[top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
+    okc &= _inner_headers_ok(frame, top_hdr, C, dil)
     comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (C,))
     size_bytes = jax.lax.dynamic_slice(frame, (top_hdr + 12 + C,), (4 * C,)).reshape(C, 4).astype(_I32)
     sizes = size_bytes[:, 0] | (size_bytes[:, 1] << 8) | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
@@ -250,6 +288,7 @@ def decode_frame_device(
     positions = payload_off + jnp.concatenate(
         [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
     )
+    ok &= _top_length_ok(frame, top_hdr, is_raw, input_bytes, dil, jnp.sum(sizes))
     import os
 
     if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
@@ -331,6 +370,7 @@ def decode_frames_device(
     okc = frames[:, top_hdr + 3] == SECTION_DECODE_INSTRUCTIONS
     okc &= frames[:, top_hdr + 4 + 3] == SECTION_CHUNK_COMPRESSOR_TABLE
     okc &= frames[:, top_hdr + 8 + C + 3] == SECTION_CHUNK_SIZE_TABLE
+    okc &= _inner_headers_ok(frames, top_hdr, C, dil)
     comp_table = frames[:, top_hdr + 8 : top_hdr + 8 + C]
     size_bytes = (
         frames[:, top_hdr + 12 + C : top_hdr + 12 + 5 * C]
@@ -349,6 +389,9 @@ def decode_frames_device(
     sizes = jnp.minimum(sizes, bound)
     positions = payload_off + jnp.concatenate(
         [jnp.zeros((B, 1), _I32), jnp.cumsum(sizes[:, :-1], axis=1)], axis=1
+    )
+    len_ok = _top_length_ok(
+        frames, top_hdr, is_raw, input_bytes, dil, jnp.sum(sizes, axis=1)
     )
 
     raw_sel = is_raw[:, None]
@@ -384,5 +427,5 @@ def decode_frames_device(
     w = out.shape[-1]
     out = out.reshape(B, Cp, w)[:, :C].reshape(B, C * w)
     ok = jnp.all(chunk_ok.reshape(B, Cp)[:, :C], axis=1)
-    ok = fmt_ok & (is_raw | is_complex) & jnp.where(is_raw, True, okc) & ok
+    ok = fmt_ok & (is_raw | is_complex) & jnp.where(is_raw, True, okc) & len_ok & ok
     return out, ok
