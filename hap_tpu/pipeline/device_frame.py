@@ -135,8 +135,7 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
     top_section_length = 4 + dil + total_payload
     use_complex = top_section_length < input_bytes + top_hdr  # hap.c:478-482
 
-    def build_complex(_):
-        frame = jnp.zeros(fmax, _U8)
+    def _write_headers(frame):
         type_byte = (COMPRESSOR_COMPLEX << 4) | fmt_id
         hdr = (
             _header8(top_section_length, type_byte)
@@ -154,14 +153,41 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
         frame = jax.lax.dynamic_update_slice(
             frame, _header4(jnp.asarray(4 * C, _I32), SECTION_CHUNK_SIZE_TABLE), (top_hdr + 8 + C,)
         )
-        frame = jax.lax.dynamic_update_slice(
+        return jax.lax.dynamic_update_slice(
             frame, _u32le(emit_len).reshape(-1), (top_hdr + 12 + C,)
         )
 
+    Brows = (-(-bound // 128) + 7) // 8 * 8
+    tcs = 8
+    stitch_vmem = (2 * tcs * Brows + 2 * Brows + 16 + 8) * 128 * 4
+
+    def build_complex_stitch(_):
+        """Payload stitched by the streaming Pallas kernel (the lax.scan of
+        C dynamic_update_slice steps costs ~30 us of latency per step)."""
+        from hap_tpu.snappy.pallas_kernels import stitch_streams
+
+        prow0 = (payload_off // 1024) * 8  # 8-row-aligned payload start
+        hdr_len = prow0 * 128 + 1024
+        hdr_buf = _write_headers(jnp.zeros(hdr_len, _U8))
+        prefix = hdr_buf[prow0 * 128 :]
+
+        raw_rows = jnp.pad(chunks, ((0, 0), (0, Brows * 128 - S)))
+        comp_rows = jnp.pad(comp[:, :bound], ((0, 0), (0, Brows * 128 - bound)))
+        streams = jnp.where(is_comp[:, None], comp_rows, raw_rows)
+        qs = (payload_off - prow0 * 128) + positions
+        out_rows = (
+            -(-(fmax - prow0 * 128) // 128) + 7
+        ) // 8 * 8 + 2 * Brows + 24  # final flush writes the whole stage
+        out = stitch_streams(streams, qs, emit_len, prefix, out_rows)
+        payload_bytes = out.astype(_U8).reshape(-1)
+        frame = jnp.concatenate([hdr_buf[: prow0 * 128], payload_bytes])[:fmax]
+        return frame, top_hdr + top_section_length
+
+    def build_complex_scan(_):
+        frame = _write_headers(jnp.zeros(fmax, _U8))
+
         # Payload: write each chunk's (bound-padded) stream at its position;
         # in-order writes let the next chunk overwrite the previous pad tail.
-        # Raw-fallback select happens per chunk inside the scan — a whole-
-        # frame where() would materialize another payload-sized array.
         def raw_chunk(c):
             if bound >= S:
                 return jnp.pad(chunks[c], (0, bound - S))
@@ -176,6 +202,10 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
 
         frame, _ = jax.lax.scan(body, frame, jnp.arange(C, dtype=_I32))
         return frame, top_hdr + top_section_length
+
+    build_complex = (
+        build_complex_stitch if stitch_vmem <= 15 << 20 else build_complex_scan
+    )
 
     def build_raw(_):
         frame = jnp.zeros(fmax, _U8)

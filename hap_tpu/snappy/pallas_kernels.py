@@ -313,6 +313,152 @@ def compact_streams_from_data(
     return out.reshape(C, nblk * 128)[:C0, :out_width].astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def stitch_streams(
+    streams: jnp.ndarray,    # (C, Brows*128) uint8 — bound-padded chunk streams
+    q_positions: jnp.ndarray,  # (C,) int32 — byte offsets in the OUTPUT region
+    lengths: jnp.ndarray,    # (C,) int32 — true stream lengths
+    prefix: jnp.ndarray,     # (8*128,) uint8 — output rows [0, 8) prefill
+    out_rows: int,
+) -> jnp.ndarray:
+    """Ragged back-to-back concatenation of C streams at byte positions.
+
+    Replaces the container-assembly lax.scan of per-chunk
+    dynamic_update_slice ops (64 sequential XLA steps cost ~2 ms/frame at
+    4K — pure per-step latency). Streaming design: chunks arrive in
+    increasing position order; each is rolled to its byte offset and masked
+    into a persistent VMEM stage; whenever a full F-row block is complete
+    it DMAs to the HBM output at an 8-row-aligned offset and the stage
+    shifts down. Bytes the streams don't cover stay zero (matching the
+    zeros-initialized scan form bit-for-bit); the partial head row is never
+    flushed early, so the next chunk's merge sees it.
+
+    Returns (out_rows, 128) int32 byte lanes (the caller casts/reshapes).
+    out_rows must be a multiple of 8 with >= SROWS rows of slack beyond the
+    last byte (the final flush writes the whole stage).
+    """
+    C0, BW = streams.shape
+    Brows = BW // 128
+    assert BW % 128 == 0 and Brows % 8 == 0
+    F = Brows  # flush block rows (multiple of 8)
+    SROWS = 2 * F + 16
+    assert out_rows % 8 == 0
+    tcs = _TC
+    if C0 % tcs:
+        padc = tcs - C0 % tcs
+        streams = jnp.pad(streams, ((0, padc), (0, 0)))
+        tail_q = q_positions[-1] + lengths[-1]
+        q_positions = jnp.concatenate(
+            [q_positions, jnp.broadcast_to(tail_q, (padc,))]
+        )
+        lengths = jnp.pad(lengths, (0, padc))  # zero-length: writes nothing
+    C = streams.shape[0]
+    stream_blocks = streams.astype(_I32).reshape(C, Brows, 128)
+    meta = jnp.stack([q_positions.astype(_I32), lengths.astype(_I32)], axis=1)
+    prefix_block = prefix.astype(_I32).reshape(8, 128)
+    n_tiles = C // tcs
+    init = jnp.zeros((out_rows, 128), _I32)  # aliased: rows beyond the
+    # final flush keep deterministic zeros (bit-identical to the scan form)
+
+    def kernel(meta_ref, prefix_ref, stream_ref, init_ref, out_ref,
+               base_ref, stage, sem):
+        t = pl.program_id(0)
+        lane = _lane128()
+        widx = (
+            jax.lax.broadcasted_iota(_I32, (Brows + 1, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (Brows + 1, 128), 1)
+        )
+
+        @pl.when(t == 0)
+        def _init():
+            stage[:] = jnp.zeros_like(stage)
+            stage[0:8, :] = prefix_ref[:]
+            base_ref[0] = 0
+
+        def flush_if_full(head_row):
+            # One F-row block; the partial head row stays staged so the
+            # next chunk's merge sees it. Called twice per chunk: a chunk
+            # adds up to F+1 rows, so two flush slots keep the staged span
+            # <= F-1 rows at every chunk start (no creep across chunks).
+            base = base_ref[0]
+
+            @pl.when(head_row - base >= F)
+            def _flush():
+                dma = pltpu.make_async_copy(
+                    stage.at[pl.ds(0, F), :], out_ref.at[pl.ds(base, F), :], sem
+                )
+                dma.start()
+                dma.wait()
+                # Shift live rows down (src [F, 2F) and dst [0, F) are
+                # disjoint; live span after a flush is < F rows), then
+                # zero the vacated region.
+                stage[0:F, :] = stage[pl.ds(F, F), :]
+                stage[F:SROWS, :] = jnp.zeros((SROWS - F, 128), _I32)
+                base_ref[0] = base + F
+
+        def place_chunk(c):
+            q = meta_ref[c, 0]
+            ln = meta_ref[c, 1]
+            base = base_ref[0]
+            row0 = q // 128 - base
+            r = q - (q // 128) * 128
+            s = stream_ref[c]  # (Brows, 128)
+            rolled = pltpu.roll(s, r, 1)
+            zrow = jnp.zeros((1, 128), _I32)
+            placed = jnp.where(
+                lane >= r,
+                jnp.concatenate([rolled, zrow], axis=0),
+                jnp.concatenate([zrow, rolled], axis=0),
+            )
+            m = (widx >= r) & (widx < r + ln)
+            cur = stage[pl.ds(row0, Brows + 1), :]
+            stage[pl.ds(row0, Brows + 1), :] = jnp.where(m, placed, cur)
+
+            head_row = (q + ln) // 128
+            flush_if_full(head_row)
+            flush_if_full(head_row)
+
+        for c in range(tcs):
+            place_chunk(c)
+
+        @pl.when(t == n_tiles - 1)
+        def _final_flush():
+            base = base_ref[0]
+            dma = pltpu.make_async_copy(
+                stage.at[pl.ds(0, SROWS), :],
+                out_ref.at[pl.ds(base, SROWS), :],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tcs, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tcs, Brows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_rows, 128), _I32),
+        scratch_shapes=[
+            pltpu.SMEM((1,), _I32),
+            pltpu.VMEM((SROWS, 128), _I32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=_interpret(),
+    )(meta, prefix_block, stream_blocks, init)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("S", "G", "out_words", "stride_span")
 )
