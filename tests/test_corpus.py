@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from hap_tpu import Compressor, TextureFormat
 from hap_tpu import native
+from hap_tpu import oracle
 from hap_tpu.constants import CONSTANT_TO_FORMAT_ID, bytes_per_block
 from hap_tpu.container.parse import (
     frame_texture_chunk_count,
@@ -79,6 +80,11 @@ def corpus(rng):
                         payload,
                         fmt,
                     )
+                # encoder 4: the ACTUAL reference (real HapEncode +
+                # real google snappy) — genuine foreign-encoder diversity
+                if oracle.available():
+                    f_ref = oracle.encode([payload], [int(fmt)], [1], [chunks])
+                    yield label + "/oracle", f_ref, payload, fmt
 
 
 def test_corpus_sweep(rng):
@@ -96,6 +102,11 @@ def test_corpus_sweep(rng):
         got_nat, nat_fmt = native.decode(frame)
         assert got_py == payload, f"python decode mismatch: {label}"
         assert got_nat == payload and nat_fmt == fmt, f"native decode mismatch: {label}"
+        # decoder 3: the ACTUAL reference HapDecode (hap.c:993)
+        if oracle.available():
+            got_ref, ref_fmt = oracle.decode(frame)
+            assert got_ref == payload, f"real HapDecode mismatch: {label}"
+            assert ref_fmt == int(fmt), label
         n += 1
     assert n >= 180, n  # the sweep actually ran
 

@@ -1,8 +1,10 @@
 """Differential tests: native C++ runtime vs pure-Python implementations.
 
-The two implementations are written independently (C++ from the spec +
-survey; Python from the spec + survey) and share no code, so byte-identical
-output is strong evidence both match the reference semantics.
+The two implementations share no code (C++ from the spec + survey; Python
+from the spec + survey), so byte-identical output catches divergence between
+them — but both are same-author, so agreement alone does not prove reference
+conformance. That proof lives in tests/test_oracle.py, which runs the ACTUAL
+reference hap.c + system google snappy against both.
 """
 
 import numpy as np
