@@ -9,15 +9,26 @@ header form, any section order, per-chunk compressor mixes, and arbitrary
 google/snappy output.
 
 Division of labor: the host parses the container headers (a few hundred
-bytes — container/parse.py, the total-function planner) and extracts the
-per-chunk stream windows; all byte decompression (general Snappy kernel,
-snappy/pallas_general.py) and all texture decoding run on device.
+bytes — container/parse.py, the total-function planner); frame bytes are
+uploaded ONCE and chunk windows are sliced on device, so the whole byte
+plane (general Snappy kernel, snappy/pallas_general.py), the payload
+stitch, and all texture decoding run as device computations with
+device-resident outputs.
+
+Two serving routes, both exposed by decode_frame_any:
+
+* via="device" — pure-device: the general Pallas Snappy kernel.
+* via="native" — hybrid: byte-serial LZ parsing is CPU-shaped work, so the
+  C++ runtime (multithreaded, hap_tpu/native) decompresses the container on
+  host and only the DXT payload ships to the chip for texture decode. This
+  is the production-throughput route for foreign streams; the device route
+  keeps frames that are already resident on device off the host entirely.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,19 +40,37 @@ from hap_tpu.snappy.pallas_general import decode_any_streams
 _I32 = jnp.int32
 
 
-@partial(jax.jit, static_argnames=("S_max", "total_bytes"))
-def _decode_chunks_to_payload(
-    comp: jnp.ndarray,  # (C, B >= S_max) uint8 chunk stream windows
-    comp_len: jnp.ndarray,  # (C,) int32
-    out_len: jnp.ndarray,  # (C,) int32 uncompressed sizes
-    out_off: jnp.ndarray,  # (C,) int32 uncompressed offsets
+def _ceil(n: int, g: int) -> int:
+    return -(-n // g) * g
+
+
+@partial(jax.jit, static_argnames=("S_max", "B_comp", "total_bytes"))
+def _decode_payload_from_frame(
+    frame_pad: jnp.ndarray,  # (>= F + S_max + B_comp,) uint8 frame bytes
+    comp_off: jnp.ndarray,  # (C,) int32 — chunk stream offsets in frame
+    comp_len: jnp.ndarray,  # (C,) int32 — stream lengths
+    out_len: jnp.ndarray,  # (C,) int32 — uncompressed sizes
+    out_off: jnp.ndarray,  # (C,) int32 — uncompressed offsets
     is_comp: jnp.ndarray,  # (C,) bool — Snappy chunk vs raw chunk
-    S_max: int,
-    total_bytes: int,
+    S_max: int,  # static: max uncompressed chunk size
+    B_comp: int,  # static: 128-multiple >= max Snappy stream length
+    total_bytes: int,  # static: decoded payload size
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Chunk windows -> ((total_bytes,) uint8 payload, ok scalar)."""
-    dec, ok = decode_any_streams(comp, comp_len, out_len, S_max)
-    rows = jnp.where(is_comp[:, None], dec, comp[:, :S_max])
+    """Frame bytes -> ((total_bytes,) uint8 payload, ok scalar), on device.
+
+    Only Snappy chunks go through the kernel (raw chunks get comp_len=0 and
+    exit its chain immediately); raw chunk bytes are sliced straight from
+    the frame during the stitch. B_comp is decoupled from S_max so the
+    kernel's input VMEM footprint tracks actual stream sizes (more chains
+    per grid step — see pallas_general._pick_tc).
+    """
+
+    def slice_body(_, off):
+        return None, jax.lax.dynamic_slice(frame_pad, (off,), (B_comp,))
+
+    _, comp = jax.lax.scan(slice_body, None, comp_off)
+    klen = jnp.where(is_comp, comp_len, 0)
+    dec, ok = decode_any_streams(comp, klen, jnp.where(is_comp, out_len, 0), S_max)
     ok_all = jnp.all(ok | ~is_comp)
 
     # Stitch rows at their uncompressed offsets. Chunks are written in
@@ -51,66 +80,130 @@ def _decode_chunks_to_payload(
     buf = jnp.zeros(total_bytes + S_max, jnp.uint8)
 
     def body(buf, c):
-        return jax.lax.dynamic_update_slice(buf, rows[c], (out_off[c],)), None
+        raw = jax.lax.dynamic_slice(frame_pad, (comp_off[c],), (S_max,))
+        row = jnp.where(is_comp[c], dec[c], raw)
+        return jax.lax.dynamic_update_slice(buf, row, (out_off[c],)), None
 
     buf, _ = jax.lax.scan(body, buf, order)
     return buf[:total_bytes], ok_all
 
 
-def _texture_payload_device(frame_np: np.ndarray, tex) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Extract chunk windows on host, decompress on device.
-
-    Returns ((decoded_bytes,) uint8 device payload, ok scalar).
-    """
-    C = tex.chunk_count
+def _texture_payload_device(
+    frame_dev: jnp.ndarray, frame_len: int, tex
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device frame bytes + host-parsed chunk tables -> (payload, ok)."""
     csizes = np.asarray(tex.chunk_compressed_sizes, np.int64)
     usizes = np.asarray(tex.chunk_uncompressed_sizes, np.int64)
-    S_max = int(usizes.max())
-    B = max(int(csizes.max()), S_max)
-    B = -(-B // 128) * 128
-    comp = np.zeros((C, B), np.uint8)
-    for i in range(C):
-        off, n = int(tex.chunk_compressed_offsets[i]), int(csizes[i])
-        comp[i, :n] = frame_np[off : off + n]
     is_comp = np.asarray(tex.chunk_compressors) == CHUNK_COMPRESSOR_SNAPPY
-    return _decode_chunks_to_payload(
-        jnp.asarray(comp),
+    S_max = int(usizes.max())
+    comp_max = int(csizes[is_comp].max()) if is_comp.any() else 1
+    # Bucket the kernel window width (a static shape) so recompiles are
+    # bounded per stream instead of per frame.
+    B_comp = _ceil(max(comp_max, 128), 4096 if comp_max > 128 else 128)
+    need = int(np.asarray(tex.chunk_compressed_offsets).max()) + max(S_max, B_comp)
+    if frame_dev.shape[0] < need:
+        frame_dev = jnp.pad(frame_dev, (0, need - frame_dev.shape[0]))
+    return _decode_payload_from_frame(
+        frame_dev,
+        jnp.asarray(np.asarray(tex.chunk_compressed_offsets), _I32),
         jnp.asarray(csizes, _I32),
         jnp.asarray(usizes, _I32),
         jnp.asarray(np.asarray(tex.chunk_uncompressed_offsets), _I32),
         jnp.asarray(is_comp),
         S_max,
+        B_comp,
         int(tex.decoded_bytes),
     )
 
 
-def decode_frame_any(frame, height: int, width: int) -> Tuple[np.ndarray, bool]:
-    """Decode any legal Hap frame to (H, W, C) pixels, textures on device.
+def decode_frame_any_device(
+    frame, height: int, width: int, frame_dev: Optional[jnp.ndarray] = None
+):
+    """Decode any legal Hap frame, all compute and outputs on device.
 
-    Returns (pixels, device_ok). device_ok is False only for streams the
-    general kernel flagged malformed — the caller should then raise via the
-    host path (pipeline/codecs.decode_frame), which reports the precise
-    HapResult.
+    Returns (pixels device array (H, W, C), ok device scalar). Pass
+    ``frame_dev`` (uint8 device array of the same bytes, e.g. already
+    resident from a previous stage) to skip the host->device upload.
     """
     from hap_tpu.container.parse import parse_frame
     from hap_tpu.kernels.layout import pack_u8_to_u32
-    from hap_tpu.pipeline.codecs import CODECS, _DECODERS, codec_for_frame
+    from hap_tpu.pipeline.codecs import _DECODERS, codec_for_frame
 
     frame = bytes(frame)
     spec = codec_for_frame(frame)
     plan = parse_frame(frame)
-    frame_np = np.frombuffer(frame, np.uint8)
+    if frame_dev is None:
+        # Bucketed upload length: bounded recompiles across a stream.
+        fpad = _ceil(len(frame), 1 << 20)
+        buf = np.zeros(fpad, np.uint8)
+        buf[: len(frame)] = np.frombuffer(frame, np.uint8)
+        frame_dev = jnp.asarray(buf)
 
     images = []
-    ok_all = True
+    ok_all = jnp.bool_(True)
     for index, fmt in enumerate(spec.texture_formats):
-        payload, ok = _texture_payload_device(frame_np, plan.textures[index])
-        ok_all = ok_all and bool(ok)
+        payload, ok = _texture_payload_device(
+            frame_dev, len(frame), plan.textures[index]
+        )
+        ok_all = ok_all & ok
         dec, wpb = _DECODERS[fmt]
         words = pack_u8_to_u32(payload.reshape(-1, 4)).reshape(-1, wpb)
-        images.append(np.asarray(dec(words, height, width)))
+        images.append(dec(words, height, width))
 
     if not spec.multi_texture:
         return images[0], ok_all
     color, alpha = images
-    return np.concatenate([color, alpha[..., None]], axis=-1), ok_all
+    return jnp.concatenate([color, alpha[..., None]], axis=-1), ok_all
+
+
+def decode_frame_any(
+    frame, height: int, width: int, via: str = "device"
+) -> Tuple[np.ndarray, bool]:
+    """Decode any legal Hap frame to (H, W, C) host pixels.
+
+    via="device": general Snappy Pallas kernel (decode_frame_any_device).
+    via="native": the C++ runtime decompresses on host (multithreaded),
+    only texture decode runs on device — the throughput route for foreign
+    streams (byte-serial LZ is CPU-shaped; see module docstring).
+
+    Returns (pixels, ok). ok is False only for streams flagged malformed —
+    the caller should then raise via the host path
+    (pipeline/codecs.decode_frame), which reports the precise HapResult.
+    """
+    if via == "native":
+        return _decode_frame_any_native(frame, height, width)
+    img, ok = decode_frame_any_device(frame, height, width)
+    return np.asarray(img), bool(ok)
+
+
+def _decode_frame_any_native(frame, height: int, width: int):
+    from hap_tpu import native
+    from hap_tpu.kernels.layout import pack_u8_to_u32
+    from hap_tpu.pipeline.codecs import _DECODERS, codec_for_frame
+
+    frame = bytes(frame)
+    spec = codec_for_frame(frame)
+    images = []
+    ok_all = True
+    for index, fmt in enumerate(spec.texture_formats):
+        try:
+            payload, _ = native.decode(frame, index=index)
+        except Exception:
+            return (
+                np.zeros(
+                    (height, width, 4 if spec.multi_texture else 3), np.uint8
+                ),
+                False,
+            )
+        pay = jnp.asarray(np.frombuffer(payload, np.uint8))
+        dec, wpb = _DECODERS[fmt]
+        words = pack_u8_to_u32(pay.reshape(-1, 4)).reshape(-1, wpb)
+        images.append(dec(words, height, width))
+
+    if not spec.multi_texture:
+        return np.asarray(images[0]), ok_all
+    color, alpha = images
+    return (
+        np.asarray(jnp.concatenate([color, alpha[..., None]], axis=-1)),
+        ok_all,
+    )

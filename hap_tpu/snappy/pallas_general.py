@@ -84,19 +84,48 @@ def _merge_store(out_ref, c, dst, vec512, m, nout):
 
 
 def _pick_tc(nin: int, nout: int) -> int:
-    """Chunks per grid step bounded by a ~10 MB VMEM budget (int32 lanes)."""
-    for tc in (8, 4, 2, 1):
+    """Chunks per grid step bounded by a ~10 MB VMEM budget (int32 lanes).
+
+    More chains per step = more independent work to hide each chain's serial
+    element-walk latency behind; 16 is the unroll cap (the interleaved body
+    is python-unrolled tc times)."""
+    for tc in (16, 8, 4, 2, 1):
         if tc * (nin + nout) * 128 * 4 <= 10 * 2**20:
             return tc
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("S_max",))
+def _decode_varint_preamble(comp_ref, c, clen, ulen, S_max, nin):
+    """Parse the varint(uncompressed length) preamble of chunk c.
+
+    Returns (hdr bytes consumed, ok).
+    """
+    win0 = _read_window(comp_ref, c, jnp.int32(0), nin)
+    b = [win0[0, i] for i in range(5)]
+    val = b[0] & 127
+    hdr = jnp.int32(1)
+    inc = b[0] >= 128  # next byte belongs to the varint
+    ok0 = jnp.bool_(True)
+    for i in range(1, 5):
+        # Final byte may only carry bits < 2^31 (int32 arithmetic; larger
+        # lengths can never match ulen <= S_max anyway).
+        if i == 4:
+            ok0 = ok0 & (~inc | (b[4] < 8))
+        val = val + jnp.where(inc, (b[i] & 127) << (7 * i), 0)
+        hdr = hdr + inc.astype(_I32)
+        inc = inc & (b[i] >= 128)
+    ok0 = ok0 & ~inc  # must terminate within 5 bytes
+    ok0 = ok0 & (val == ulen) & (hdr <= clen) & (ulen <= S_max)
+    return hdr, ok0
+
+
+@functools.partial(jax.jit, static_argnames=("S_max", "impl"))
 def decode_any_streams(
     comp: jnp.ndarray,  # (C, B) uint8 — one Snappy stream per row
     comp_len: jnp.ndarray,  # (C,) int32 — true stream lengths
     out_len: jnp.ndarray,  # (C,) int32 — expected uncompressed lengths
     S_max: int,  # static bound: every out_len <= S_max
+    impl: str = "interleaved",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode C arbitrary conforming Snappy streams -> ((C, S_max) u8, ok).
 
@@ -104,6 +133,21 @@ def decode_any_streams(
     written output, element overrunning input or output, trailing garbage,
     or preamble != out_len[c]); its output row is then undefined but every
     access stays in-bounds.
+
+    impl="interleaved" (default) walks all chunks of a grid step as
+    independent interleaved chains inside ONE while_loop — each chain's
+    element walk is a serial dependency, so issuing tc chains per iteration
+    hides the chain latency behind vector work (same idiom as the
+    structured kernel's _UJ chains). A literal element is consumed 128
+    bytes per iteration via a continuation state instead of an inner loop,
+    which keeps the chains in lockstep-shaped control flow.
+    impl="serial" is the one-chunk-at-a-time walk kept for A/B timing.
+
+    Load balance: interleaved chains run in lockstep, so a grid step costs
+    its LONGEST chain. Rows are sorted by descending comp_len (element count
+    is ~proportional) so each tc-row grid step gets similar-length chains —
+    sum-of-group-maxima is minimized by contiguous groups in sorted order.
+    Outputs are unsorted back before returning.
     """
     C0, B = comp.shape
     nin = -(-B // 128) + 3
@@ -115,10 +159,141 @@ def decode_any_streams(
         comp_len = jnp.pad(comp_len, (0, padc))
         out_len = jnp.pad(out_len, (0, padc))
     C = comp.shape[0]
+    perm = jnp.argsort(-comp_len)
+    inv = jnp.argsort(perm)
+    comp = jnp.take(comp, perm, axis=0)
+    comp_len = jnp.take(comp_len, perm)
+    out_len = jnp.take(out_len, perm)
     comp_blocks = (
         jnp.pad(comp, ((0, 0), (0, nin * 128 - B))).astype(_I32).reshape(C, nin, 128)
     )
     meta = jnp.stack([comp_len.astype(_I32), out_len.astype(_I32)], axis=1)
+
+    def kernel_interleaved(meta_ref, comp_ref, out_ref, ok_ref):
+        clens = [meta_ref[j, 0] for j in range(tc)]
+        ulens = [meta_ref[j, 1] for j in range(tc)]
+        lane256 = jax.lax.broadcasted_iota(_I32, (1, 256), 1)
+
+        cursors, oks = [], []
+        for j in range(tc):
+            hdr, ok0 = _decode_varint_preamble(
+                comp_ref, j, clens[j], ulens[j], S_max, nin)
+            cursors.append(hdr)
+            oks.append(ok0)
+        ops = [jnp.int32(0)] * tc
+        lit_rems = [jnp.int32(0)] * tc
+
+        def actives(carry):
+            return [
+                carry[4 * j + 3]
+                & ((carry[4 * j] < clens[j]) | (carry[4 * j + 2] > 0))
+                for j in range(tc)
+            ]
+
+        def cond(carry):
+            a = actives(carry)
+            r = a[0]
+            for x in a[1:]:
+                r = r | x
+            return r
+
+        def chain_step(j, cursor, op, lit_rem, okc, active):
+            win = _read_window(comp_ref, j, cursor, nin)
+            fresh = lit_rem == 0
+            tag = win[0, 0]
+            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
+            ttype = tag & 3
+            len6 = tag >> 2
+            is_lit = ttype == 0
+
+            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
+            ext = (
+                b1
+                + jnp.where(len6 >= 61, b2 << 8, 0)
+                + jnp.where(len6 >= 62, b3 << 16, 0)
+                + jnp.where(len6 >= 63, b4 << 24, 0)
+            )  # may wrap negative for absurd lengths -> rejected below
+            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
+
+            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
+            cp_off = jnp.where(
+                ttype == 1,
+                ((tag >> 5) << 8) | b1,
+                jnp.where(
+                    ttype == 2,
+                    b1 | (b2 << 8),
+                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+                ),
+            )
+            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+
+            elen = jnp.where(is_lit, lit_len, cp_len)
+            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
+            fresh_ok = (
+                (elen >= 1)
+                & (in_need >= 1)
+                & (cursor + in_need <= clens[j])
+                & (op + elen <= ulens[j])
+                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
+            )
+            # Inactive chains still execute (masked); their ok must freeze,
+            # or the garbage tag at cursor==clen would clobber it.
+            oke = okc & jnp.where(fresh & active, fresh_ok, True)
+            go = oke & active
+
+            # Effective element this iteration: a fresh copy, or <=128 bytes
+            # of a (fresh or continuing) literal.
+            eff_lit = jnp.where(fresh, is_lit, True)
+            hdr_eff = jnp.where(fresh, jnp.where(is_lit, lit_hdr, cp_hdr), 0)
+            lit_total = jnp.where(fresh, lit_len, lit_rem)
+            m_lit = jnp.minimum(128, lit_total)
+
+            # Literal source: the comp window shifted left past the header.
+            litwin = pltpu.roll(win, 512 - hdr_eff, 1)[:, :256]
+
+            # Copy source: output back-reference, period-doubled to >= 64.
+            src = jnp.maximum(op - cp_off, 0)
+            wsrc = _read_window(out_ref, j, src, nout)
+            v = wsrc[:, :256]
+            valid = jnp.clip(cp_off, 1, 64)
+            for _ in range(6):
+                v = jnp.where(lane256 >= valid, pltpu.roll(v, valid, 1), v)
+                valid = jnp.minimum(valid * 2, 128)
+
+            vsel = jnp.where(eff_lit, litwin, v)
+            v512 = jnp.concatenate([vsel, jnp.zeros((1, 256), _I32)], axis=1)
+            m = jnp.where(go, jnp.where(eff_lit, m_lit, cp_len), 0)
+            _merge_store(out_ref, j, op, v512, m, nout)
+
+            adv_in = jnp.where(eff_lit, hdr_eff + m_lit, cp_hdr)
+            adv_out = jnp.where(eff_lit, m_lit, cp_len)
+            cursor = jnp.where(go, cursor + adv_in, cursor)
+            op = jnp.where(go, op + adv_out, op)
+            lit_rem = jnp.where(
+                go, jnp.where(eff_lit, lit_total - m_lit, 0), lit_rem)
+            return cursor, op, lit_rem, oke
+
+        def body(carry):
+            act = actives(carry)
+            out = []
+            for j in range(tc):
+                out.extend(chain_step(
+                    j, carry[4 * j], carry[4 * j + 1],
+                    carry[4 * j + 2], carry[4 * j + 3], act[j],
+                ))
+            return tuple(out)
+
+        carry = tuple(
+            x for j in range(tc) for x in (cursors[j], ops[j], lit_rems[j], oks[j])
+        )
+        carry = jax.lax.while_loop(cond, body, carry)
+        for j in range(tc):
+            cursor, op, lit_rem, okc = (
+                carry[4 * j], carry[4 * j + 1], carry[4 * j + 2], carry[4 * j + 3]
+            )
+            okc = okc & (cursor == clens[j]) & (op == ulens[j]) & (lit_rem == 0)
+            ok_ref[j, 0] = okc.astype(_I32)
 
     def kernel(meta_ref, comp_ref, out_ref, ok_ref):
         def chunk_body(c, _):
@@ -231,7 +406,7 @@ def decode_any_streams(
         jax.lax.fori_loop(0, meta_ref.shape[0], chunk_body, 0)
 
     out, ok = pl.pallas_call(
-        kernel,
+        kernel_interleaved if impl == "interleaved" else kernel,
         grid=(C // tc,),
         in_specs=[
             pl.BlockSpec((tc, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -247,6 +422,8 @@ def decode_any_streams(
         ),
         interpret=_interpret(),
     )(meta, comp_blocks)
+    out = jnp.take(out, inv, axis=0)
+    ok = jnp.take(ok, inv, axis=0)
     return (
         out.reshape(C, nout * 128)[:C0, :S_max].astype(jnp.uint8),
         ok[:C0, 0].astype(jnp.bool_),

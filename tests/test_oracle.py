@@ -190,8 +190,11 @@ def test_real_hapencode_decodes_via_device_general_kernel(rng):
         payload = content(kind, 1024 * g, g, rng)
         frame = oracle.encode([payload], [int(fmt)], [1], [chunks])
         plan = parse_frame(frame)
+        import jax.numpy as jnp
+
         out, ok = _texture_payload_device(
-            np.frombuffer(frame, np.uint8), plan.textures[0])
+            jnp.asarray(np.frombuffer(frame, np.uint8)), len(frame),
+            plan.textures[0])
         assert bool(ok), f"{fmt.name}/{kind}"
         assert np.asarray(out).tobytes() == payload, f"{fmt.name}/{kind}"
 

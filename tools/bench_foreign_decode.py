@@ -1,0 +1,172 @@
+"""Benchmark: foreign-frame decode (real HapEncode bytes) on the TPU chip.
+
+"Decode other people's frames fast" is half the job of a codec framework:
+the headline path only accepts the self-emitted structured-snappy profile
+(pipeline/device_frame.py); frames from the reference ecosystem's encoders
+route through pipeline/any_frame.py + the general Snappy Pallas kernel
+(snappy/pallas_general.py). This tool measures that path on silicon with
+ACTUAL foreign bytes: 4K Hap Q frames encoded by the real reference
+HapEncode + real google snappy (hap_tpu/oracle.py) for each content class,
+decoded by the general kernel (both impls A/B'd) and end-to-end via
+decode_frame_any.
+
+Run alone (one TPU python process at a time — CLAUDE.md).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+H, W = 2160, 3840
+CHUNKS = 64
+ITERS = 6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hap_tpu import oracle
+    from hap_tpu.constants import CHUNK_COMPRESSOR_SNAPPY, TextureFormat
+    from hap_tpu.container.parse import parse_frame
+    from hap_tpu.snappy.pallas_general import decode_any_streams
+    from hap_tpu.pipeline.any_frame import decode_frame_any
+    from hap_tpu.pipeline.device_pipeline import _encode_blocks
+    from hap_tpu.kernels.layout import unpack_u32_to_u8
+    from tools.bench_content import make_frame
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    for cls in ("graphics", "natural", "noise"):
+        img = make_frame(cls, 0, H, W)
+        words = _encode_blocks("hap_q", jnp.asarray(img))
+        payload = np.asarray(
+            unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+        ).tobytes()
+        frame = oracle.encode(
+            [payload], [int(TextureFormat.YCoCg_DXT5)], [1], [CHUNKS])
+        log(f"--- {cls}: real HapEncode frame {len(frame)/1e6:.2f} MB "
+            f"(payload {len(payload)/1e6:.2f} MB)")
+
+        plan = parse_frame(frame)
+        tex = plan.textures[0]
+        C = tex.chunk_count
+        csizes = np.asarray(tex.chunk_compressed_sizes, np.int64)
+        usizes = np.asarray(tex.chunk_uncompressed_sizes, np.int64)
+        is_comp = np.asarray(tex.chunk_compressors) == CHUNK_COMPRESSOR_SNAPPY
+        S_max = int(usizes.max())
+        log(f"chunks: {C} x {S_max} B uncompressed, "
+            f"{int(is_comp.sum())}/{C} snappy, "
+            f"comp sizes {csizes.min()}-{csizes.max()}")
+        if not is_comp.any():
+            log("whole frame raw (snappy never engaged) — kernel rows n/a")
+            continue
+
+        # Kernel-only timing on the snappy chunks.
+        sel = np.nonzero(is_comp)[0]
+        B = -(-max(int(csizes[sel].max()), S_max) // 128) * 128
+        comp = np.zeros((len(sel), B), np.uint8)
+        frame_np = np.frombuffer(frame, np.uint8)
+        for row, i in enumerate(sel):
+            off, n = int(tex.chunk_compressed_offsets[i]), int(csizes[i])
+            comp[row, :n] = frame_np[off : off + n]
+        comp_d = jax.device_put(jnp.asarray(comp), dev)
+        clen_d = jax.device_put(jnp.asarray(csizes[sel], jnp.int32), dev)
+        ulen_d = jax.device_put(jnp.asarray(usizes[sel], jnp.int32), dev)
+        pix_share = H * W * float(usizes[sel].sum()) / float(usizes.sum())
+
+        for impl in ("interleaved", "serial"):
+            fn = jax.jit(functools_partial(decode_any_streams, S_max=S_max,
+                                           impl=impl))
+            t0 = time.time()
+            out, ok = fn(comp_d, clen_d, ulen_d)
+            _ = float(jnp.sum(out.astype(jnp.int32)) + jnp.sum(ok))
+            log(f"[{impl}] compile+first: {time.time()-t0:.1f}s "
+                f"ok={bool(np.asarray(ok).all())}")
+            assert np.asarray(ok).all()
+            got = np.asarray(out)
+            for row, i in enumerate(sel):
+                lo = int(tex.chunk_uncompressed_offsets[i])
+                n = int(usizes[i])
+                assert got[row, :n].tobytes() == payload[lo : lo + n], row
+
+            times = []
+            for _ in range(ITERS):
+                t0 = time.time()
+                out, ok = fn(comp_d, clen_d, ulen_d)
+                _ = float(jnp.sum(out.astype(jnp.int32)) + jnp.sum(ok))
+                times.append(time.time() - t0)
+            dt = sorted(times)[ITERS // 2]
+            log(f"[{impl}] kernel decode ({len(sel)} snappy chunks): "
+                f"{dt*1000:.1f} ms -> {pix_share/dt/1e6:.1f} Mpix/s "
+                f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+
+        # End-to-end device-resident: host parse + device windows/snappy/
+        # stitch/BCn, outputs stay on device (fold to a scalar like bench.py;
+        # D2H of 24.9 MB pixels through this env's tunnel is an artifact).
+        from hap_tpu.pipeline.any_frame import decode_frame_any_device
+
+        frame_dev = jax.device_put(
+            jnp.asarray(np.frombuffer(frame, np.uint8)), dev)
+        t0 = time.time()
+        pix, ok = decode_frame_any_device(frame, H, W, frame_dev=frame_dev)
+        _ = float(jnp.sum(pix.astype(jnp.int32)) + ok)
+        log(f"e2e-device compile+first: {time.time()-t0:.1f}s "
+            f"ok={bool(ok)}")
+        times = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            pix, ok = decode_frame_any_device(frame, H, W, frame_dev=frame_dev)
+            _ = float(jnp.sum(pix.astype(jnp.int32)) + ok)
+            times.append(time.time() - t0)
+        dt = sorted(times)[ITERS // 2]
+        log(f"e2e device-resident foreign decode: {dt*1000:.1f} ms/frame -> "
+            f"{H*W/dt/1e6:.1f} Mpix/s "
+            f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+
+        # Hybrid: native C++ snappy on host (threads) + device BCn.
+        t0 = time.time()
+        pix, ok = decode_frame_any(frame, H, W, via="native")
+        log(f"hybrid compile+first: {time.time()-t0:.1f}s ok={ok}")
+        times = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            pix, ok = decode_frame_any(frame, H, W, via="native")
+            times.append(time.time() - t0)
+        dt = sorted(times)[ITERS // 2]
+        log(f"hybrid native+device foreign decode (incl. pixel D2H): "
+            f"{dt*1000:.1f} ms/frame -> {H*W/dt/1e6:.1f} Mpix/s "
+            f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+
+        # CPU anchor: the reference itself decoding its own frame, serial.
+        reps = 5
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            got, _ = oracle.decode(frame, out_cap=len(payload) + 64)
+            ts.append(time.time() - t0)
+        assert got == payload
+        dt_ref = sorted(ts)[reps // 2]
+        log(f"reference CPU decode (real HapDecode, serial): "
+            f"{dt_ref*1000:.1f} ms -> {H*W/dt_ref/1e6:.1f} Mpix/s")
+
+
+def functools_partial(fn, **kw):
+    import functools
+
+    return functools.partial(fn, **kw)
+
+
+if __name__ == "__main__":
+    main()
