@@ -135,6 +135,16 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
     top_section_length = 4 + dil + total_payload
     use_complex = top_section_length < input_bytes + top_hdr  # hap.c:478-482
 
+    # Observability (cheap scalars already live in this computation):
+    # [snappy chunks emitted, payload bytes emitted, whole-frame raw fallback]
+    stats = jnp.stack(
+        [
+            jnp.where(use_complex, jnp.sum(is_comp.astype(_I32)), 0),
+            jnp.where(use_complex, total_payload, jnp.asarray(input_bytes, _I32)),
+            (~use_complex).astype(_I32),
+        ]
+    )
+
     def _write_headers(frame):
         type_byte = (COMPRESSOR_COMPLEX << 4) | fmt_id
         hdr = (
@@ -220,7 +230,7 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
         return frame, jnp.asarray(top_hdr + input_bytes, _I32)
 
     frame, frame_len = jax.lax.cond(use_complex, build_complex, build_raw, None)
-    return frame, frame_len.astype(_I32)
+    return frame, frame_len.astype(_I32), stats
 
 
 @partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
@@ -230,6 +240,25 @@ def encode_frame_device(
     """(input_bytes,) uint8 DXT payload -> ((fmax,) uint8 frame, frame_len).
 
     chunk_count must already be legal (container.plan.legalize_chunk_count).
+    """
+    C = chunk_count
+    S = payload.shape[0] // C
+    comp, comp_len = snappy_encode_chunks(payload.reshape(C, S), S, G)
+    frame, flen, _ = _assemble_frame(payload, comp, comp_len, C, fmt_id, G)
+    return frame, flen
+
+
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+def encode_frame_device_stats(
+    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """encode_frame_device + a (3,) int32 stats vector:
+
+    [snappy chunks emitted, payload bytes emitted (== input_bytes when the
+    whole-frame raw fallback fired), whole-frame raw fallback (0/1)].
+    Raw-fallback chunk count per frame = chunk_count - stats[0] for complex
+    frames. These scalars already live in the assembly computation
+    (hap.c:460-466 per-chunk and hap.c:478-482 whole-frame decisions).
     """
     C = chunk_count
     S = payload.shape[0] // C
@@ -257,14 +286,17 @@ def encode_frames_device(
 
     def assemble(args):
         payload, comp_b, comp_len_b = args
-        return _assemble_frame(payload, comp_b, comp_len_b, C, fmt_id, G)
+        frame, flen, _ = _assemble_frame(payload, comp_b, comp_len_b, C, fmt_id, G)
+        return frame, flen
 
     return jax.lax.map(assemble, (payloads, comp, comp_len))
 
 
 @partial(
     jax.jit,
-    static_argnames=("input_bytes", "chunk_count", "fmt_id", "G", "out_words"),
+    static_argnames=(
+        "input_bytes", "chunk_count", "fmt_id", "G", "out_words", "with_reasons",
+    ),
 )
 def decode_frame_device(
     frame: jnp.ndarray,
@@ -273,12 +305,19 @@ def decode_frame_device(
     fmt_id: int,
     G: int,
     out_words: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_reasons: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """((fmax,) uint8, static expectations) -> ((input_bytes,) uint8, ok).
 
     Accepts frames in the fixed layout both this framework and the reference
     encoder emit. ok=False (with best-effort output) for foreign layouts or
     non-structured snappy chunk streams — callers then use the host path.
+
+    ``with_reasons`` appends a (5,) int32 vector decomposing ok (1 = passed):
+    [format nibble matches, compressor nibble known, top section length
+    valid, decode-instruction tables valid, all chunk streams decoded] —
+    the same checks the reference performs at hap.c:993-1036 plus per-chunk
+    stream validation, exposed per-frame for observability.
 
     ``out_words`` returns the payload as (input_bytes//4,) uint32 LE words
     instead of bytes: the frame-direct kernel packs them from its int32
@@ -294,7 +333,8 @@ def decode_frame_device(
 
     type_byte = frame[3]
     compressor = (type_byte >> 4) & 0xF
-    ok = (type_byte & 0xF) == fmt_id
+    fmt_ok = (type_byte & 0xF) == fmt_id
+    ok = fmt_ok
     is_raw = compressor == COMPRESSOR_NONE
     is_complex = compressor == COMPRESSOR_COMPLEX
 
@@ -318,7 +358,8 @@ def decode_frame_device(
     positions = payload_off + jnp.concatenate(
         [jnp.zeros(1, _I32), jnp.cumsum(sizes[:-1])]
     )
-    ok &= _top_length_ok(frame, top_hdr, is_raw, input_bytes, dil, jnp.sum(sizes))
+    top_len_ok = _top_length_ok(frame, top_hdr, is_raw, input_bytes, dil, jnp.sum(sizes))
+    ok &= top_len_ok
     import os
 
     if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
@@ -336,8 +377,22 @@ def decode_frame_device(
         out, chunk_ok = decode_streams_from_frame(
             frame, pos, csizes, cis, S, G, out_words=out_words
         )
-        okr = jnp.where(is_raw, True, okc) & jnp.all(chunk_ok)
-        return out.reshape(-1), okr & ok & (is_raw | is_complex)
+        table_ok = jnp.where(is_raw, True, okc)
+        chunks_ok = jnp.all(chunk_ok)
+        okr = table_ok & chunks_ok
+        ok_all = okr & ok & (is_raw | is_complex)
+        if with_reasons:
+            reasons = jnp.stack(
+                [fmt_ok, is_raw | is_complex, top_len_ok, table_ok, chunks_ok]
+            ).astype(_I32)
+            return out.reshape(-1), ok_all, reasons
+        return out.reshape(-1), ok_all
+
+    if with_reasons:
+        raise NotImplementedError(
+            "with_reasons requires the frame-direct decode path "
+            "(HAP_TPU_FRAME_DIRECT_DECODE=1, the default)"
+        )
 
     def dec_raw(_):
         payload = jax.lax.dynamic_slice(frame, (top_hdr,), (input_bytes,))

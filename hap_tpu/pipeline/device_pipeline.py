@@ -44,6 +44,7 @@ _CODEC_TEXTURES = {
     "hap_alpha_only": (TextureFormat.A_RGTC1,),
     "hap_r": (TextureFormat.RGBA_BPTC_UNORM,),
     "hap_hdr": (TextureFormat.RGB_BPTC_UNSIGNED_FLOAT,),
+    "hap_hdr_signed": (TextureFormat.RGB_BPTC_SIGNED_FLOAT,),
     "hap_q_alpha": (TextureFormat.YCoCg_DXT5, TextureFormat.A_RGTC1),
 }
 
@@ -86,6 +87,14 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
 
         blocks = image_to_blocks(img.astype(jnp.float32))
         return bc6h_encode_blocks_mode11(f32_to_half_bits(blocks))
+    if codec == "hap_hdr_signed":
+        from hap_tpu.kernels.bc6h import (
+            bc6h_encode_blocks_mode11_signed,
+            f32_to_half_bits,
+        )
+
+        blocks = image_to_blocks(img.astype(jnp.float32))
+        return bc6h_encode_blocks_mode11_signed(f32_to_half_bits(blocks))
     raise ValueError(codec)
 
 
@@ -115,6 +124,12 @@ def _decode_blocks(codec: str, words: jnp.ndarray, h: int, w: int) -> jnp.ndarra
         from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
 
         return blocks_to_image(half_bits_to_f32(bc6h_decode_blocks(words)), h, w)
+    if codec == "hap_hdr_signed":
+        from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
+
+        return blocks_to_image(
+            half_bits_to_f32(bc6h_decode_blocks(words, signed=True)), h, w
+        )
     raise ValueError(codec)
 
 
@@ -130,6 +145,60 @@ def _encode_texture_device(img, codec, fmt, chunk_count, effort="high"):
     words = _encode_blocks(codec, img, effort)
     payload = words_to_payload(words)
     return encode_frame_device(payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+
+
+def _encode_texture_device_stats(img, codec, fmt, chunk_count, effort="high"):
+    from hap_tpu.pipeline.device_frame import encode_frame_device_stats
+
+    h, w = img.shape[0], img.shape[1]
+    g = bytes_per_block(fmt)
+    cc = plan_chunks(h, w, fmt, chunk_count)
+    words = _encode_blocks(codec, img, effort)
+    payload = words_to_payload(words)
+    frame, flen, stats = encode_frame_device_stats(
+        payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g
+    )
+    # Extend to the per-texture stats row: [input_bytes, chunk_count,
+    # snappy_chunks, payload_bytes_emitted, whole_frame_raw, frame_len].
+    row = jnp.concatenate(
+        [
+            jnp.asarray([payload.shape[0], cc], jnp.int32),
+            stats,
+            flen[None].astype(jnp.int32),
+        ]
+    )
+    return frame, flen, row
+
+
+@partial(jax.jit, static_argnames=("codec", "chunk_count", "effort"))
+def encode_pipeline_stats(
+    img: jnp.ndarray, codec: str = "hap_q", chunk_count: int = 64,
+    effort: str = "high",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """encode_pipeline + per-texture observability stats.
+
+    Returns (frame, frame_len, stats) with stats (T, 6) int32 — one row per
+    texture section: [dxt_payload_bytes, chunk_count, snappy_chunks,
+    payload_bytes_emitted, whole_frame_raw, section_frame_len]. The
+    compression ratio and per-chunk raw-fallback count derive from these
+    (the reference exposes none of this; the decisions are hap.c:460-466,
+    478-482)."""
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) == 1:
+        frame, flen, row = _encode_texture_device_stats(
+            img, codec, fmts[0], chunk_count, effort
+        )
+        return frame, flen, row[None, :]
+
+    h, w = img.shape[0], img.shape[1]
+    f1, l1, row1 = _encode_texture_device_stats(
+        img, "hap_q", fmts[0], chunk_count, effort
+    )
+    f2, l2, row2 = _encode_texture_device_stats(
+        img[..., 3], "hap_alpha_only", fmts[1], chunk_count, effort
+    )
+    frame, flen = _wrap_multi_image(h, w, fmts, chunk_count, f1, l1, f2, l2)
+    return frame, flen, jnp.stack([row1, row2])
 
 
 @partial(jax.jit, static_argnames=("codec", "chunk_count", "effort"))
@@ -150,14 +219,19 @@ def encode_pipeline(
         return _encode_texture_device(img, codec, fmts[0], chunk_count, effort)
 
     # hap_q_alpha: YCoCg BC3 color section + RGTC1 alpha section.
-    from hap_tpu.constants import SECTION_MULTIPLE_IMAGES, UINT24_MAX
-    from hap_tpu.container.plan import decode_instructions_length
-    from hap_tpu.pipeline.device_frame import _header4, _header8
-
     f1, l1 = _encode_texture_device(img, "hap_q", fmts[0], chunk_count, effort)
     f2, l2 = _encode_texture_device(
         img[..., 3], "hap_alpha_only", fmts[1], chunk_count, effort
     )
+    return _wrap_multi_image(h, w, fmts, chunk_count, f1, l1, f2, l2)
+
+
+def _wrap_multi_image(h, w, fmts, chunk_count, f1, l1, f2, l2):
+    """Assemble two texture sections under the 0x0D multi-image wrapper
+    (mirrors HapEncode's two-texture path, hap.c:560-603)."""
+    from hap_tpu.constants import SECTION_MULTIPLE_IMAGES, UINT24_MAX
+    from hap_tpu.container.plan import decode_instructions_length
+    from hap_tpu.pipeline.device_frame import _header4, _header8
 
     # Wrapper header length from the worst case (hap.c:562-576) — static.
     worst = 0
@@ -180,17 +254,44 @@ def encode_pipeline(
     return out, (top_hdr + body_len).astype(jnp.int32)
 
 
-def _decode_texture_pipeline(frame, height, width, codec, fmt, chunk_count):
+def _decode_texture_pipeline(
+    frame, height, width, codec, fmt, chunk_count, with_reasons=False
+):
     g = bytes_per_block(fmt)
     nbytes = dxt_payload_bytes(width, height, fmt)
     cc = plan_chunks(height, width, fmt, chunk_count)
-    words_flat, ok = decode_frame_device(
-        frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g, out_words=True
+    res = decode_frame_device(
+        frame, nbytes, cc, CONSTANT_TO_FORMAT_ID[fmt], g, out_words=True,
+        with_reasons=with_reasons,
     )
+    words_flat, ok = res[0], res[1]
     wpb = bytes_per_block(fmt) // 4
     words = words_flat.reshape(-1, wpb)
     img = _decode_blocks(codec, words, height, width)
+    if with_reasons:
+        return img, ok, res[2]
     return img, ok
+
+
+@partial(jax.jit, static_argnames=("codec", "height", "width", "chunk_count"))
+def decode_pipeline_reasons(
+    frame: jnp.ndarray,
+    height: int,
+    width: int,
+    codec: str = "hap_q",
+    chunk_count: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """decode_pipeline + a (T, 5) int32 ok-reason matrix (one row per
+    texture section; columns documented at decode_frame_device)."""
+    fmts = _CODEC_TEXTURES[codec]
+    if len(fmts) == 1:
+        img, ok, reasons = _decode_texture_pipeline(
+            frame, height, width, codec, fmts[0], chunk_count, with_reasons=True
+        )
+        return img, ok, reasons[None, :]
+    return _decode_multi_image(
+        frame, height, width, fmts, chunk_count, with_reasons=True
+    )
 
 
 @partial(jax.jit, static_argnames=("codec", "height", "width", "chunk_count"))
@@ -207,7 +308,10 @@ def decode_pipeline(
         return _decode_texture_pipeline(
             frame, height, width, codec, fmts[0], chunk_count
         )
+    return _decode_multi_image(frame, height, width, fmts, chunk_count)
 
+
+def _decode_multi_image(frame, height, width, fmts, chunk_count, with_reasons=False):
     # hap_q_alpha: 0x0D wrapper with a YCoCg section then an RGTC1 section.
     from hap_tpu.constants import SECTION_MULTIPLE_IMAGES, UINT24_MAX
     from hap_tpu.container.plan import decode_instructions_length
@@ -237,16 +341,20 @@ def decode_pipeline(
         len1 = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
     else:
         len1 = b[0] | (b[1] << 8) | (b[2] << 16)
-    color, ok1 = _decode_texture_pipeline(
-        child1, height, width, "hap_q", fmts[0], chunk_count
+    r1 = _decode_texture_pipeline(
+        child1, height, width, "hap_q", fmts[0], chunk_count, with_reasons
     )
     child2 = jax.lax.dynamic_slice(pad, (top_hdr + hdr1 + len1,), (f2max,))
-    alpha, ok2 = _decode_texture_pipeline(
-        child2, height, width, "hap_alpha_only", fmts[1], chunk_count
+    r2 = _decode_texture_pipeline(
+        child2, height, width, "hap_alpha_only", fmts[1], chunk_count, with_reasons
     )
+    color, ok1 = r1[0], r1[1]
+    alpha, ok2 = r2[0], r2[1]
     if alpha.ndim == 2:
         alpha = alpha[..., None]
     img = jnp.concatenate([color, alpha], axis=-1)
+    if with_reasons:
+        return img, ok & ok1 & ok2, jnp.stack([r1[2], r2[2]])
     return img, ok & ok1 & ok2
 
 
@@ -286,6 +394,16 @@ def _encode_blocks_gop(codec: str, imgs: jnp.ndarray) -> jnp.ndarray:
         return bc6h_encode_blocks_mode11(
             f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:]))
         )
+    if codec == "hap_hdr_signed":
+        from hap_tpu.kernels.bc6h import (
+            bc6h_encode_blocks_mode11_signed,
+            f32_to_half_bits,
+        )
+
+        blocks = to_blocks(imgs.astype(jnp.float32))
+        return bc6h_encode_blocks_mode11_signed(
+            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:]))
+        )
     raise ValueError(codec)
 
 
@@ -316,6 +434,10 @@ def _decode_blocks_gop(codec: str, words: jnp.ndarray, B: int, h: int, w: int):
         from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
 
         return unfold(half_bits_to_f32(bc6h_decode_blocks(words)))
+    if codec == "hap_hdr_signed":
+        from hap_tpu.kernels.bc6h import bc6h_decode_blocks, half_bits_to_f32
+
+        return unfold(half_bits_to_f32(bc6h_decode_blocks(words, signed=True)))
     raise ValueError(codec)
 
 

@@ -54,6 +54,96 @@ def test_snappy_xla_fallback_impl(rng):
         np.testing.assert_array_equal(np.asarray(out), data)
 
 
+def test_session_encode_stats_match_host(rng):
+    """Stats from the device must equal values recomputed on the host from
+    the emitted container bytes (VERDICT r1 #7)."""
+    from hap_tpu.constants import CHUNK_COMPRESSOR_SNAPPY, COMPRESSOR_NONE
+    from hap_tpu.container.parse import parse_frame
+
+    h, w, b = 48, 64, 4
+    frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    frames[0, :] = 50  # fully compressible
+    frames[1, :24] = 90  # mixed: half flat, half noise
+    # frames[2], frames[3]: pure noise -> raw fallbacks engage
+    sess = DeviceSession(h, w, "hap_q", chunk_count=4, batch=b)
+    encoded, stats = sess.encode_with_stats(frames)
+    assert {s.whole_frame_raw_sections for s in stats} == {0, 1}, (
+        "content classes should exercise both container modes"
+    )
+    for fb, s in zip(encoded, stats):
+        assert s.frame_bytes == len(fb)
+        assert s.compression_ratio == s.input_bytes / len(fb)
+        plan = parse_frame(fb)
+        tex = plan.textures[0]
+        if tex.stored_compressor == COMPRESSOR_NONE:
+            assert s.whole_frame_raw_sections == 1
+            assert s.snappy_chunks == 0 and s.raw_chunk_fallbacks == 0
+        else:
+            comps = np.asarray(tex.chunk_compressors)
+            assert s.snappy_chunks == int(
+                (comps == CHUNK_COMPRESSOR_SNAPPY).sum()
+            )
+            assert s.raw_chunk_fallbacks == s.chunk_count - s.snappy_chunks
+            assert s.input_bytes == int(
+                np.asarray(tex.chunk_uncompressed_sizes).sum()
+            )
+
+
+def test_session_encode_stats_multi_image(rng):
+    from hap_tpu.container.parse import parse_frame
+
+    h, w = 32, 32
+    frames = rng.integers(0, 256, (1, h, w, 4), dtype=np.uint8)
+    frames[0, : h // 2] = 128
+    sess = DeviceSession(h, w, "hap_q_alpha", chunk_count=2, batch=1)
+    encoded, stats = sess.encode_with_stats(frames)
+    (s,) = stats
+    assert s.frame_bytes == len(encoded[0])
+    # two sections: YCoCg_DXT5 (1 B/pix) + RGTC1 (0.5 B/pix)
+    assert s.input_bytes == h * w + h * w // 2
+    assert s.chunk_count == 4
+    imgs, ok = sess.decode_bytes(encoded)
+    assert ok.all()
+
+
+def test_session_decode_reasons(rng):
+    from hap_tpu.pipeline.session import DECODE_REASONS
+
+    h, w, b = 32, 32, 2
+    frames = rng.integers(0, 200, (b, h, w, 3), dtype=np.uint8)
+    frames[:, : h // 2] = 60
+    sess = DeviceSession(h, w, "hap_q", chunk_count=2, batch=b)
+    encoded = sess.encode(frames)
+    fmax = max(len(f) for f in encoded)
+    padded = np.zeros((b, fmax), np.uint8)
+    for i, f in enumerate(encoded):
+        padded[i, : len(f)] = np.frombuffer(f, np.uint8)
+
+    img, ok, reasons = sess.decode_with_reasons(padded)
+    assert ok.all()
+    for d in reasons:
+        assert set(d) == set(DECODE_REASONS)
+        assert all(all(v) for v in d.values())
+
+    # corrupt frame 1's format nibble: only that reason flips
+    bad = padded.copy()
+    bad[1, 3] = (bad[1, 3] & 0xF0) | 0x5
+    img, ok, reasons = sess.decode_with_reasons(bad)
+    assert bool(ok[0]) and not bool(ok[1])
+    assert reasons[1]["format_nibble"] == [False]
+    assert all(reasons[1][k] == [True] for k in DECODE_REASONS
+               if k != "format_nibble")
+
+    # corrupt frame 0's chunk-compressor table (top_hdr=4, +8; hap.c:137-187
+    # table layout): the tables reason flips
+    bad = padded.copy()
+    assert bad[0, 3] >> 4 == 0xC  # complex frame (flat band compresses)
+    bad[0, 12] = 0x07  # unknown chunk compressor
+    img, ok, reasons = sess.decode_with_reasons(bad)
+    assert not bool(ok[0])
+    assert reasons[0]["tables"] == [False]
+
+
 def test_session_fast_effort_roundtrips():
     import numpy as np
     from hap_tpu.pipeline.session import DeviceSession
