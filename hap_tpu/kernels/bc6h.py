@@ -298,3 +298,95 @@ def bc6h_encode_blocks_mode11(half_bits: jnp.ndarray, refine_iters: int = 1) -> 
     for t in range(1, 16):
         bits = set_bits(bits, posn, 4, codes[:, t]); posn += 4
     return bits
+
+
+# ---------------------------------------------------------------------------
+# Mode-11 encoder, SF16 (signed) variant.
+# ---------------------------------------------------------------------------
+
+def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
+    """Signed half value-int (sign * magnitude-bits) -> signed 10-bit
+    endpoint in [-511, 511], inverting the signed decode chain
+    finish(unquantize(q, 10, True), True) with a +-1 local search."""
+    m = jnp.abs(v)
+    target = (m * 32 + 15) // 31  # invert finish: (|x| * 31) >> 5
+    q = (target << 9) // 0x8000  # invert unquantize: (|q| << 15) >> 9
+    best = None
+    best_err = None
+    for dq in (0, 1, 2):
+        qq = jnp.clip(q + dq, 0, 511)
+        rec = _finish(_unquantize(qq, 10, True), True) & 0x7FFF
+        err = jnp.abs(rec - m)
+        if best is None:
+            best, best_err = qq, err
+        else:
+            take = err < best_err
+            best = jnp.where(take, qq, best)
+            best_err = jnp.where(take, err, best_err)
+    return jnp.where(v < 0, -best, best)
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc6h_encode_blocks_mode11_signed(
+    half_bits: jnp.ndarray, refine_iters: int = 1
+) -> jnp.ndarray:
+    """(N, 16, 3) uint16 half-float bits (finite, either sign; BC6S range)
+    -> (N, 4) uint32 BC6H SF16 mode-11 blocks.
+
+    Sign-magnitude half bits are compared/interpolated as signed value-ints
+    (sign * magnitude), the domain the signed decode chain (_unquantize /
+    _finish with signed=True) operates in; endpoints are stored as 10-bit
+    two's-complement per the BPTC float spec."""
+    hb = half_bits.astype(_I32)
+    m = jnp.clip(hb & 0x7FFF, 0, 0x7BFF)  # clamp to finite magnitude
+    h = jnp.where(hb >= 0x8000, -m, m)  # signed value-int domain
+    n = h.shape[0]
+
+    q0 = _quantize10_signed(jnp.min(h, axis=1))  # (N, 3)
+    q1 = _quantize10_signed(jnp.max(h, axis=1))
+
+    def assign(q0, q1):
+        u0 = _unquantize(q0, 10, True)[:, None, :]
+        u1 = _unquantize(q1, 10, True)[:, None, :]
+        best_idx = jnp.zeros((n, 16), _I32)
+        best_err = None
+        for k in range(16):
+            w = int(_W4[k])
+            interp = (u0 * (64 - w) + u1 * w + 32) >> 6
+            fin = _finish(interp, True)
+            pal = jnp.where(fin >= 0x8000, -(fin & 0x7FFF), fin)
+            err = jnp.sum((h - pal) * (h - pal), axis=-1)
+            if best_err is None:
+                best_err = err
+            else:
+                take = err < best_err
+                best_idx = jnp.where(take, k, best_idx)
+                best_err = jnp.where(take, err, best_err)
+        return best_idx
+
+    codes = assign(q0, q1)
+    swap = codes[:, 0] >= 8
+    codes = jnp.where(swap[:, None], 15 - codes, codes)
+    q0s = jnp.where(swap[:, None], q1, q0)
+    q1s = jnp.where(swap[:, None], q0, q1)
+
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w, b = start // 32, start % 32
+        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 5, jnp.full(n, 0x03, _I32))  # mode 11 marker
+    posn = 5
+    for c in range(3):
+        bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
+    for c in range(3):
+        bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
+    bits = set_bits(bits, posn, 3, codes[:, 0]); posn += 3
+    for t in range(1, 16):
+        bits = set_bits(bits, posn, 4, codes[:, t]); posn += 4
+    return bits

@@ -111,6 +111,25 @@ def _dec_hap_hdr(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return blocks_to_image(half_bits_to_f32(bc6h_decode_blocks(words)), h, w)
 
 
+@jax.jit
+def _enc_hap_hdr_signed(img: jnp.ndarray) -> jnp.ndarray:
+    """Hap HDR signed: BC6H SF16 (mode-11 signed encoder); img float32 RGB
+    of either sign. The reference carries this format as nibble 0x3
+    (hap.h:HapTextureFormat_RGB_BPTC_SF, hap.c:51) but ships no encoder for
+    any texture format; this closes the SF16 half of the HapH family."""
+    from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11_signed
+
+    blocks = image_to_blocks(img.astype(jnp.float32))
+    return bc6h_encode_blocks_mode11_signed(f32_to_half_bits(blocks))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _dec_hap_hdr_signed(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return blocks_to_image(
+        half_bits_to_f32(bc6h_decode_blocks(words, signed=True)), h, w
+    )
+
+
 # ---------------------------------------------------------------------------
 # Codec table
 # ---------------------------------------------------------------------------
@@ -137,6 +156,9 @@ CODECS: Dict[str, HapCodec] = {
     ),
     "hap_r": HapCodec("hap_r", "Hap7", (TextureFormat.RGBA_BPTC_UNORM,), 4),
     "hap_hdr": HapCodec("hap_hdr", "HapH", (TextureFormat.RGB_BPTC_UNSIGNED_FLOAT,), 3),
+    "hap_hdr_signed": HapCodec(
+        "hap_hdr_signed", "HapH", (TextureFormat.RGB_BPTC_SIGNED_FLOAT,), 3
+    ),
 }
 
 _ENCODERS = {
@@ -146,6 +168,7 @@ _ENCODERS = {
     TextureFormat.A_RGTC1: (_enc_hap_a, 2),
     TextureFormat.RGBA_BPTC_UNORM: (_enc_hap_r, 4),
     TextureFormat.RGB_BPTC_UNSIGNED_FLOAT: (_enc_hap_hdr, 4),
+    TextureFormat.RGB_BPTC_SIGNED_FLOAT: (_enc_hap_hdr_signed, 4),
 }
 
 _DECODERS = {
@@ -155,6 +178,7 @@ _DECODERS = {
     TextureFormat.A_RGTC1: (_dec_hap_a, 2),
     TextureFormat.RGBA_BPTC_UNORM: (_dec_hap_r, 4),
     TextureFormat.RGB_BPTC_UNSIGNED_FLOAT: (_dec_hap_hdr, 4),
+    TextureFormat.RGB_BPTC_SIGNED_FLOAT: (_dec_hap_hdr_signed, 4),
 }
 
 
