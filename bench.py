@@ -5,6 +5,11 @@ roundtrip on 4K (3840x2160) Hap Q — pixels -> complete Hap frame bytes ->
 pixels, entirely on device (the flagship serving path: layout -> scaled
 YCoCg -> BC3 -> chunked structured Snappy -> container, and back).
 
+Content rigor (VERDICT r1): the GOP is 16 DISTINCT frames across three
+content classes (natural / graphics / noise — tools/bench_content.py), not
+one frame replicated; per-frame PSNR spread and per-dispatch timing spread
+are reported, and the CPU anchor is the median of 5 runs.
+
 Timing discipline: the axon runtime dispatches lazily, so every iteration
 folds its output to a scalar fetched to the host — no un-executed work is
 counted. A GOP batch is processed per dispatch to amortize the host-sync
@@ -14,10 +19,10 @@ vs_baseline: the reference implementation (hap.c + snappy, CPU) only does
 the container+Snappy byte plane — it neither encodes nor decodes textures
 (hap.h:89-90). The baseline here is our native C++ runtime running exactly
 that reference workload (single-threaded, like the reference's serial
-encode loop hap.c:448-476) on the same DXT payload, on this host. Our
-number additionally includes the full texture codec work on the chip.
+encode loop hap.c:448-476) on the same DXT payloads, on this host.
+Our number additionally includes the full texture codec work on the chip.
 
-Prints ONE JSON line to stdout.
+Prints ONE JSON line to stdout; detail lands in BENCH_DETAIL.json.
 """
 
 import json
@@ -29,9 +34,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 H, W = 2160, 3840
 CHUNKS = 64
-BATCH = 16  # frames per dispatch (GOP slice)
+BATCH = 16  # distinct frames per dispatch (GOP slice)
 ITERS = 8  # timed dispatches (median taken: the tunnel sync floor jitters)
 
 
@@ -39,34 +46,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_4k_frame(seed=7):
-    """Semi-compressible 4K content: gradients, flat regions, texture."""
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    img = np.stack(
-        [
-            128 + 100 * np.sin(xx / 97.0) * np.cos(yy / 61.0),
-            128 + 100 * np.cos(xx / 53.0) * np.sin(yy / 83.0),
-            128 + 100 * np.sin((xx + yy) / 71.0),
-        ],
-        axis=-1,
-    )
-    img[: H // 4] = 64.0  # flat band (typical letterbox/graphics content)
-    img[H // 2 : H // 2 + H // 8] += rng.normal(0, 12, (H // 8, W, 3))
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     from hap_tpu import native
-    from hap_tpu.pipeline.device_pipeline import roundtrip_pipeline, encode_pipeline
+    from hap_tpu.pipeline.device_pipeline import roundtrip_pipeline
+    from tools.bench_content import make_gop
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    img_np = make_4k_frame()
-    batch_np = np.stack([img_np] * BATCH)
+    batch_np = make_gop(BATCH, H, W)  # 16 distinct frames, 3 content classes
     batch = jax.device_put(jnp.asarray(batch_np), dev)
 
     # One dispatch = BATCH frame roundtrips + scalar fold (forces execution).
@@ -84,9 +74,10 @@ def main():
     t0 = time.time()
     out, flen, ok, cs = gop_roundtrip(batch)
     cs_host = float(cs)
+    flens = np.asarray(flen)
     log(
         f"compile+first run: {time.time()-t0:.1f}s ok={np.asarray(ok).tolist()} "
-        f"frame_len={int(np.asarray(flen)[0])}"
+        f"frame_len min/med/max = {flens.min()}/{int(np.median(flens))}/{flens.max()}"
     )
     assert np.asarray(ok).all()
 
@@ -96,40 +87,83 @@ def main():
         out, flen, ok, cs = gop_roundtrip(batch)
         cs_host = float(cs)  # host sync every dispatch
         times.append(time.time() - t0)
-    dt = sorted(times)[ITERS // 2] / BATCH  # median: tunnel sync jitters
+    times = sorted(times)
+    dt = times[ITERS // 2] / BATCH  # median: tunnel sync jitters
     mpix = H * W / dt / 1e6
     log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s "
-        f"(dispatch times {[f'{t*1000:.0f}' for t in sorted(times)]} ms)")
+        f"(dispatch times {[f'{t*1000:.0f}' for t in times]} ms; "
+        f"spread {times[0]*1000/BATCH:.2f}-{times[-1]*1000/BATCH:.2f} ms/frame)")
 
-    out_np = np.asarray(out[0])
-    mse = np.mean((out_np.astype(np.float64) - img_np.astype(np.float64)) ** 2)
-    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
-    log(f"Hap Q roundtrip PSNR: {psnr:.2f} dB, frame {int(np.asarray(flen)[0])/1e6:.2f} MB "
+    out_np = np.asarray(out)
+    psnrs = []
+    for i in range(BATCH):
+        mse = np.mean(
+            (out_np[i].astype(np.float64) - batch_np[i].astype(np.float64)) ** 2
+        )
+        psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
+    psnrs = np.asarray(psnrs)
+    cls = ["natural", "graphics", "noise"]
+    per_class = {
+        c: round(float(np.median(psnrs[i::3])), 2) for i, c in enumerate(cls)
+    }
+    log(f"Hap Q roundtrip PSNR: min/med/max = {psnrs.min():.2f}/"
+        f"{np.median(psnrs):.2f}/{psnrs.max():.2f} dB, per-class {per_class}")
+    log(f"frame sizes: {flens.min()/1e6:.2f}-{flens.max()/1e6:.2f} MB "
         f"(raw DXT {H*W/1e6:.2f} MB)")
 
     # --- baseline: reference workload (container+snappy, CPU, 1 thread) ----
     from hap_tpu.pipeline.device_pipeline import _encode_blocks
     from hap_tpu.kernels.layout import unpack_u32_to_u8
 
-    words = _encode_blocks("hap_q", jnp.asarray(img_np))
-    payload = np.asarray(unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)).tobytes()
-
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        ref_frame = native.encode([payload], [0x01], [1], [CHUNKS], n_threads=1)
-    t_enc = (time.time() - t0) / reps
-    t0 = time.time()
-    for _ in range(reps):
-        ref_out, _ = native.decode(ref_frame, n_threads=1)
-    t_dec = (time.time() - t0) / reps
-    assert ref_out == payload
+    # three payloads, one per content class; anchor = median over classes
+    enc_times, dec_times = [], []
+    for i in range(3):
+        words = _encode_blocks("hap_q", jnp.asarray(batch_np[i]))
+        payload = np.asarray(
+            unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+        ).tobytes()
+        reps = 5
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            ref_frame = native.encode([payload], [0x01], [1], [CHUNKS], n_threads=1)
+            ts.append(time.time() - t0)
+        enc_times.append(sorted(ts)[reps // 2])
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            ref_out, _ = native.decode(ref_frame, n_threads=1)
+            ts.append(time.time() - t0)
+        dec_times.append(sorted(ts)[reps // 2])
+        assert ref_out == payload
+    t_enc = float(np.median(enc_times))
+    t_dec = float(np.median(dec_times))
     base_mpix = H * W / (t_enc + t_dec) / 1e6
-    log(f"baseline (reference workload, CPU 1-thread container+snappy): "
-        f"enc {t_enc*1000:.1f} ms + dec {t_dec*1000:.1f} ms -> {base_mpix:.1f} Mpix/s")
+    log(f"baseline (reference workload, CPU 1-thread container+snappy, "
+        f"median of 5x3 classes): enc {t_enc*1000:.1f} ms + dec "
+        f"{t_dec*1000:.1f} ms -> {base_mpix:.1f} Mpix/s")
+
+    detail = {
+        "config": {"H": H, "W": W, "chunks": CHUNKS, "batch": BATCH,
+                   "content": "16 distinct frames, classes natural/graphics/noise"},
+        "ms_per_frame": {"median": round(dt * 1000, 2),
+                         "min": round(times[0] * 1000 / BATCH, 2),
+                         "max": round(times[-1] * 1000 / BATCH, 2)},
+        "psnr_db": {"min": round(float(psnrs.min()), 2),
+                    "median": round(float(np.median(psnrs)), 2),
+                    "max": round(float(psnrs.max()), 2),
+                    "per_class": per_class},
+        "frame_mb": {"min": round(float(flens.min()) / 1e6, 2),
+                     "max": round(float(flens.max()) / 1e6, 2)},
+        "cpu_anchor_ms": {"encode": round(t_enc * 1000, 1),
+                          "decode": round(t_dec * 1000, 1)},
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
 
     print(json.dumps({
-        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip)",
+        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip, 16 distinct frames)",
         "value": round(mpix, 1),
         "unit": "Mpixels/s",
         "vs_baseline": round(mpix / base_mpix, 3),

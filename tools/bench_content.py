@@ -1,0 +1,79 @@
+"""Deterministic benchmark content: distinct frames across content classes.
+
+VERDICT r1 flagged that the round-1 headline was measured on exactly one
+synthetic frame replicated 16x. This module generates *distinct* frames in
+three classes that span the codec's operating range:
+
+* ``natural``  — smooth multi-frequency fields + film-grain noise
+                 (photographic video; moderate compressibility)
+* ``graphics`` — flat panels, linear gradients, hard edges, text-like
+                 stripes (motion graphics / UI capture; highly compressible,
+                 worst case for BCn edge ringing)
+* ``noise``    — broadband noise with varying amplitude (worst case for
+                 second-stage compression; exercises raw fallbacks)
+
+Every frame is a deterministic function of (cls, seed, H, W).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_frame(cls: str, seed: int, H: int, W: int) -> np.ndarray:
+    rng = np.random.default_rng(1000 * seed + hash(cls) % 997)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    if cls == "natural":
+        f = rng.uniform(30, 130, 6)
+        ph = rng.uniform(0, 6.28, 6)
+        img = np.stack(
+            [
+                128 + 70 * np.sin(xx / f[0] + ph[0]) * np.cos(yy / f[1] + ph[1])
+                + 30 * np.sin((xx + 2 * yy) / f[2] + ph[2]),
+                128 + 70 * np.cos(xx / f[3] + ph[3]) * np.sin(yy / f[4] + ph[4]),
+                128 + 90 * np.sin((xx - yy) / f[5] + ph[5]),
+            ],
+            axis=-1,
+        )
+        # film grain on the textured part only; the top quarter is a smooth
+        # sky gradient (constant along x, so BC3 blocks repeat and the
+        # second stage engages, ~1.3x — like real letterboxed camera
+        # content). Heavier overall grain would turn the whole DXT payload
+        # random, which the "noise" class already covers.
+        img += rng.normal(0, rng.uniform(0.5, 2.0), (H, W, 3))
+        sky = 40 + 160 * (yy[: H // 4, :1] / (H // 4))
+        img[: H // 4] = sky[..., None] * rng.uniform(0.6, 1.0, 3)
+    elif cls == "graphics":
+        img = np.zeros((H, W, 3), np.float32)
+        # gradient backdrop
+        img[:] = (
+            np.linspace(0, 255, W, dtype=np.float32)[None, :, None]
+            * rng.uniform(0.3, 1.0, 3)[None, None, :]
+        )
+        # flat panels with hard edges
+        for _ in range(8):
+            y0, x0 = rng.integers(0, H - H // 6), rng.integers(0, W - W // 6)
+            h, w = rng.integers(H // 12, H // 6), rng.integers(W // 12, W // 6)
+            img[y0 : y0 + h, x0 : x0 + w] = rng.integers(0, 256, 3)
+        # text-like stripes
+        rows = slice(H // 8, H // 8 + H // 16)
+        stripe = (xx[rows] % rng.integers(6, 16) < 3) * 255.0
+        img[rows] = stripe[..., None]
+    elif cls == "noise":
+        amp = rng.uniform(40, 128)
+        img = 128 + rng.normal(0, amp, (H, W, 3)).astype(np.float32)
+        # half-frame structured so per-chunk fallbacks mix within one frame
+        img[: H // 2] = 128 + 60 * np.sin(xx[: H // 2] / 41.0)[..., None]
+    else:
+        raise ValueError(cls)
+
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def make_gop(n: int, H: int, W: int) -> np.ndarray:
+    """n distinct frames cycling through the content classes."""
+    classes = ["natural", "graphics", "noise"]
+    return np.stack(
+        [make_frame(classes[i % 3], i, H, W) for i in range(n)]
+    )
