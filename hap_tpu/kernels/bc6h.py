@@ -238,72 +238,6 @@ def _quantize10_unsigned(h: jnp.ndarray) -> jnp.ndarray:
     return best
 
 
-@partial(jax.jit, static_argnames=("refine_iters",))
-def bc6h_encode_blocks_mode11(half_bits: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
-    """(N, 16, 3) uint16 half-float bits (non-negative finite; BC6U range)
-
-    -> (N, 4) uint32 BC6H mode-11 blocks."""
-    h = half_bits.astype(_I32)
-    h = jnp.clip(h, 0, 0x7BFF)  # clamp to finite non-negative halfs
-    n = h.shape[0]
-
-    q0 = _quantize10_unsigned(jnp.min(h, axis=1))  # (N, 3)
-    q1 = _quantize10_unsigned(jnp.max(h, axis=1))
-
-    def assign(q0, q1):
-        u0 = _unquantize(q0, 10, False)[:, None, :]
-        u1 = _unquantize(q1, 10, False)[:, None, :]
-        # distance over the 16 palette entries
-        best_idx = jnp.zeros((n, 16), _I32)
-        best_err = None
-        for k in range(16):
-            w = int(_W4[k])
-            interp = (u0 * (64 - w) + u1 * w + 32) >> 6
-            pal = _finish(interp, False)  # half-bit domain, like decode
-            err = jnp.sum(
-                (h - pal) * (h - pal), axis=-1
-            )  # (N, 16)
-            if best_err is None:
-                best_err = err
-            else:
-                take = err < best_err
-                best_idx = jnp.where(take, k, best_idx)
-                best_err = jnp.where(take, err, best_err)
-        return best_idx
-
-    codes = assign(q0, q1)
-    # Anchor rule: texel 0 index MSB must be 0.
-    swap = codes[:, 0] >= 8
-    codes = jnp.where(swap[:, None], 15 - codes, codes)
-    q0s = jnp.where(swap[:, None], q1, q0)
-    q1s = jnp.where(swap[:, None], q0, q1)
-
-    bits = jnp.zeros((n, 4), _U32)
-
-    def set_bits(bits, start, length, vals):
-        vals = vals.astype(_U32) & ((1 << length) - 1)
-        w, b = start // 32, start % 32
-        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
-        if b + length > 32:
-            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
-        return bits
-
-    bits = set_bits(bits, 0, 5, jnp.full(n, 0x03, _I32))  # mode 11 marker
-    posn = 5
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
-    bits = set_bits(bits, posn, 3, codes[:, 0]); posn += 3
-    for t in range(1, 16):
-        bits = set_bits(bits, posn, 4, codes[:, t]); posn += 4
-    return bits
-
-
-# ---------------------------------------------------------------------------
-# Mode-11 encoder, SF16 (signed) variant.
-# ---------------------------------------------------------------------------
-
 def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
     """Signed half value-int (sign * magnitude-bits) -> signed 10-bit
     endpoint in [-511, 511], inverting the signed decode chain
@@ -326,6 +260,141 @@ def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(v < 0, -best, best)
 
 
+def _palette16(q0, q1, signed):
+    """Endpoints (N, 3) -> decoded palette (N, 16, 3) in the signed
+    value-int domain (sign * half-magnitude) — exact decoder semantics."""
+    u0 = _unquantize(q0, 10, signed)[:, None, :]
+    u1 = _unquantize(q1, 10, signed)[:, None, :]
+    pal = []
+    for k in range(16):
+        w = int(_W4[k])
+        fin = _finish((u0 * (64 - w) + u1 * w + 32) >> 6, signed)
+        if signed:
+            fin = jnp.where(fin >= 0x8000, -(fin & 0x7FFF), fin)
+        pal.append(fin)
+    return jnp.concatenate(pal, axis=1)  # (N, 16, 3)
+
+
+def _assign16(h, q0, q1, signed):
+    """Nearest palette index per texel under exact decode semantics.
+
+    Returns (codes (N, 16) int32, per-block SSE (N,) float32)."""
+    pal = _palette16(q0, q1, signed)
+    best_idx = jnp.zeros(h.shape[:2], _I32)
+    best_err = None
+    for k in range(16):
+        d = (h - pal[:, k][:, None, :]).astype(jnp.float32)
+        err = jnp.sum(d * d, axis=-1)
+        if best_err is None:
+            best_err = err
+        else:
+            take = err < best_err
+            best_idx = jnp.where(take, k, best_idx)
+            best_err = jnp.where(take, err, best_err)
+    return best_idx, jnp.sum(best_err, axis=1)
+
+
+def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarray:
+    """Shared mode-11 core. h: (N, 16, 3) int32 signed value-ints
+    (sign * half-magnitude — the domain the decode chain interpolates in,
+    non-negative when signed=False). Returns (N, 4) uint32 blocks.
+
+    Endpoints from the block's PRINCIPAL AXIS, not per-channel min/max:
+    mode 11 shares ONE texel index across channels, so box-corner endpoints
+    collapse catastrophically on anti-correlated channels (a texel wanting
+    index 15 in R and 0 in G). PCA endpoints + least-squares refit rounds,
+    same recipe as the BC1 encoder (kernels/bc1.py).
+    """
+    from hap_tpu.kernels.bc1 import _fit_endpoints_ls, _principal_axis
+
+    n = h.shape[0]
+    lo, hi = (-0x7BFF, 0x7BFF) if signed else (0, 0x7BFF)
+    quant = _quantize10_signed if signed else _quantize10_unsigned
+
+    def q_of(e):
+        return quant(jnp.clip(jnp.round(e), lo, hi).astype(_I32))
+
+    px = h.astype(jnp.float32)
+    axis = _principal_axis(px)
+    mean = jnp.mean(px, axis=1)
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    e0 = mean + axis * jnp.min(t, axis=1)[:, None]
+    e1 = mean + axis * jnp.max(t, axis=1)[:, None]
+    q0, q1 = q_of(e0), q_of(e1)
+    codes, err = _assign16(h, q0, q1, signed)
+
+    # Second seed: per-channel min/max box corners — better than the PCA
+    # line on decorrelated-noise blocks (the cloud has no dominant axis).
+    # Keep whichever reconstructs better under exact decode semantics.
+    e0b = jnp.min(px, axis=1)
+    e1b = jnp.max(px, axis=1)
+    q0b, q1b = q_of(e0b), q_of(e1b)
+    codes_b, err_b = _assign16(h, q0b, q1b, signed)
+
+    take_b = err_b < err
+    q0 = jnp.where(take_b[:, None], q0b, q0)
+    q1 = jnp.where(take_b[:, None], q1b, q1)
+    codes = jnp.where(take_b[:, None], codes_b, codes)
+    e0 = jnp.where(take_b[:, None], e0b, e0)
+    e1 = jnp.where(take_b[:, None], e1b, e1)
+
+    spx = jnp.sum(px, axis=1)
+    for _ in range(refine_iters):
+        # index weights without a gather: 16-way where-chain (small-table
+        # rule, CLAUDE.md perf facts)
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 16):
+            w = jnp.where(codes == k, float(_W4[k]) / 64.0, w)
+        e0n, e1n = _fit_endpoints_ls(px, w, e0, e1, spx)
+        q0n, q1n = q_of(e0n), q_of(e1n)
+        codes_n, err_n = _assign16(h, q0n, q1n, signed)
+        # quantized refit can regress; keep it only where it helps
+        take = err_n < err
+        q0 = jnp.where(take[:, None], q0n, q0)
+        q1 = jnp.where(take[:, None], q1n, q1)
+        codes = jnp.where(take[:, None], codes_n, codes)
+        e0 = jnp.where(take[:, None], e0n, e0)
+        e1 = jnp.where(take[:, None], e1n, e1)
+        err = jnp.minimum(err, err_n)
+
+    # Anchor rule: texel 0 index MSB must be 0 (palette is weight-symmetric,
+    # w[15-k] == 64 - w[k], so the swap is exact).
+    swap = codes[:, 0] >= 8
+    codes = jnp.where(swap[:, None], 15 - codes, codes)
+    q0s = jnp.where(swap[:, None], q1, q0)
+    q1s = jnp.where(swap[:, None], q0, q1)
+
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w_, b = start // 32, start % 32
+        bits = bits.at[:, w_].set(bits[:, w_] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w_ + 1].set(bits[:, w_ + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 5, jnp.full(n, 0x03, _I32))  # mode 11 marker
+    posn = 5
+    for c in range(3):
+        bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
+    for c in range(3):
+        bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
+    bits = set_bits(bits, posn, 3, codes[:, 0]); posn += 3
+    for t_ in range(1, 16):
+        bits = set_bits(bits, posn, 4, codes[:, t_]); posn += 4
+    return bits
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc6h_encode_blocks_mode11(half_bits: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
+    """(N, 16, 3) uint16 half-float bits (non-negative finite; BC6U range)
+    -> (N, 4) uint32 BC6H mode-11 blocks."""
+    h = half_bits.astype(_I32)
+    h = jnp.clip(h, 0, 0x7BFF)  # clamp to finite non-negative halfs
+    return _encode_mode11(h, signed=False, refine_iters=refine_iters)
+
+
 @partial(jax.jit, static_argnames=("refine_iters",))
 def bc6h_encode_blocks_mode11_signed(
     half_bits: jnp.ndarray, refine_iters: int = 1
@@ -340,53 +409,4 @@ def bc6h_encode_blocks_mode11_signed(
     hb = half_bits.astype(_I32)
     m = jnp.clip(hb & 0x7FFF, 0, 0x7BFF)  # clamp to finite magnitude
     h = jnp.where(hb >= 0x8000, -m, m)  # signed value-int domain
-    n = h.shape[0]
-
-    q0 = _quantize10_signed(jnp.min(h, axis=1))  # (N, 3)
-    q1 = _quantize10_signed(jnp.max(h, axis=1))
-
-    def assign(q0, q1):
-        u0 = _unquantize(q0, 10, True)[:, None, :]
-        u1 = _unquantize(q1, 10, True)[:, None, :]
-        best_idx = jnp.zeros((n, 16), _I32)
-        best_err = None
-        for k in range(16):
-            w = int(_W4[k])
-            interp = (u0 * (64 - w) + u1 * w + 32) >> 6
-            fin = _finish(interp, True)
-            pal = jnp.where(fin >= 0x8000, -(fin & 0x7FFF), fin)
-            err = jnp.sum((h - pal) * (h - pal), axis=-1)
-            if best_err is None:
-                best_err = err
-            else:
-                take = err < best_err
-                best_idx = jnp.where(take, k, best_idx)
-                best_err = jnp.where(take, err, best_err)
-        return best_idx
-
-    codes = assign(q0, q1)
-    swap = codes[:, 0] >= 8
-    codes = jnp.where(swap[:, None], 15 - codes, codes)
-    q0s = jnp.where(swap[:, None], q1, q0)
-    q1s = jnp.where(swap[:, None], q0, q1)
-
-    bits = jnp.zeros((n, 4), _U32)
-
-    def set_bits(bits, start, length, vals):
-        vals = vals.astype(_U32) & ((1 << length) - 1)
-        w, b = start // 32, start % 32
-        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
-        if b + length > 32:
-            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
-        return bits
-
-    bits = set_bits(bits, 0, 5, jnp.full(n, 0x03, _I32))  # mode 11 marker
-    posn = 5
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
-    bits = set_bits(bits, posn, 3, codes[:, 0]); posn += 3
-    for t in range(1, 16):
-        bits = set_bits(bits, posn, 4, codes[:, t]); posn += 4
-    return bits
+    return _encode_mode11(h, signed=True, refine_iters=refine_iters)
