@@ -572,17 +572,152 @@ def bc7_encode_blocks_mode1(
     return bits
 
 
+# ---------------------------------------------------------------------------
+# Mode-5 encoder: 1 subset, RGB 7.7.7 with 2-bit indices + alpha 8.8 with
+# its OWN 2-bit indices — the mode that carries blocks whose alpha is
+# decorrelated from color (UI overlays, independent alpha mattes), which
+# mode 6's single shared RGBA index represents poorly.
+# ---------------------------------------------------------------------------
+
+_W2 = WEIGHTS[2]
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc7_encode_blocks_mode5(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
+    """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 mode-5 blocks (rotation 0).
+
+    Color: PCA endpoints quantized to 7 bits (dequant (q<<1)|(q>>6)),
+    2-bit indices, least-squares refit. Alpha: 8-bit endpoints, separate
+    2-bit indices, scalar refit. Rotation is fixed to 0 (alpha stays alpha)
+    — the decorrelated-channel win comes from the separate index plane.
+    """
+    from hap_tpu.kernels.bc1 import _fit_endpoints_ls, _principal_axis
+
+    px = pixels.astype(jnp.float32)
+    rgb = px[..., :3]
+    a = px[..., 3:4]
+    n = px.shape[0]
+
+    def quant7(e):
+        # 7-bit endpoint with +-1 local search on the dequantized value
+        e = jnp.clip(e, 0.0, 255.0)
+        q = jnp.clip(jnp.round(e / 2.0), 0, 127).astype(_I32)
+        best, best_err = None, None
+        for dq in (-1, 0, 1):
+            qq = jnp.clip(q + dq, 0, 127)
+            v = (qq << 1) | (qq >> 6)
+            err = jnp.abs(v.astype(jnp.float32) - e)
+            if best is None:
+                best, best_err = qq, err
+            else:
+                take = err < best_err
+                best = jnp.where(take, qq, best)
+                best_err = jnp.where(take, err, best_err)
+        return best
+
+    def assign2(vals, v0, v1):
+        """vals (N,16,C); v0/v1 (N,C) dequantized -> (codes, sse)."""
+        best_idx = jnp.zeros(vals.shape[:2], _I32)
+        best_err = None
+        for k in range(4):
+            w = float(_W2[k])
+            pal = (v0 * (64.0 - w) + v1 * w) / 64.0
+            d = vals - pal[:, None, :]
+            err = jnp.sum(d * d, axis=-1)
+            if best_err is None:
+                best_err = err
+            else:
+                take = err < best_err
+                best_idx = jnp.where(take, k, best_idx)
+                best_err = jnp.where(take, err, best_err)
+        return best_idx, jnp.sum(best_err, axis=1)
+
+    def deq7(q):
+        return ((q << 1) | (q >> 6)).astype(jnp.float32)
+
+    # --- color plane ------------------------------------------------------
+    axis = _principal_axis(rgb)
+    mean = jnp.mean(rgb, axis=1)
+    t = jnp.sum((rgb - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    e0 = mean + axis * jnp.min(t, axis=1)[:, None]
+    e1 = mean + axis * jnp.max(t, axis=1)[:, None]
+    q0, q1 = quant7(e0), quant7(e1)
+    codes, _ = assign2(rgb, deq7(q0), deq7(q1))
+    for _ in range(refine_iters):
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 4):
+            w = jnp.where(codes == k, float(_W2[k]) / 64.0, w)
+        e0, e1 = _fit_endpoints_ls(rgb, w, e0, e1)
+        q0, q1 = quant7(e0), quant7(e1)
+        codes, _ = assign2(rgb, deq7(q0), deq7(q1))
+
+    # --- alpha plane ------------------------------------------------------
+    a0 = jnp.min(a, axis=1)
+    a1 = jnp.max(a, axis=1)
+    qa0 = jnp.clip(jnp.round(a0), 0, 255).astype(_I32)
+    qa1 = jnp.clip(jnp.round(a1), 0, 255).astype(_I32)
+    acodes, _ = assign2(a, qa0.astype(jnp.float32), qa1.astype(jnp.float32))
+    for _ in range(refine_iters):
+        w = jnp.zeros(acodes.shape, jnp.float32)
+        for k in range(1, 4):
+            w = jnp.where(acodes == k, float(_W2[k]) / 64.0, w)
+        a0, a1 = _fit_endpoints_ls(a, w, a0, a1)
+        qa0 = jnp.clip(jnp.round(a0), 0, 255).astype(_I32)
+        qa1 = jnp.clip(jnp.round(a1), 0, 255).astype(_I32)
+        acodes, _ = assign2(a, qa0.astype(jnp.float32), qa1.astype(jnp.float32))
+
+    # Anchor rules: texel 0's index MSB must be 0 in EACH index plane
+    # (weights are symmetric: w[3-k] == 64 - w[k]).
+    swap = codes[:, 0] >= 2
+    codes = jnp.where(swap[:, None], 3 - codes, codes)
+    q0s = jnp.where(swap[:, None], q1, q0)
+    q1s = jnp.where(swap[:, None], q0, q1)
+    aswap = acodes[:, 0] >= 2
+    acodes = jnp.where(aswap[:, None], 3 - acodes, acodes)
+    qa0s = jnp.where(aswap[:, None], qa1, qa0)
+    qa1s = jnp.where(aswap[:, None], qa0, qa1)
+
+    # Pack: mode '100000' (6 bits), rotation (2) = 0, R0 R1 G0 G1 B0 B1
+    # (7 each), A0 A1 (8 each), 31 color index bits, 31 alpha index bits.
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w_, b = start // 32, start % 32
+        bits = bits.at[:, w_].set(bits[:, w_] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w_ + 1].set(bits[:, w_ + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 6, jnp.full(n, 1 << 5, _I32))
+    posn = 8  # 6 mode bits + 2 rotation bits (rotation 0)
+    for c in range(3):
+        bits = set_bits(bits, posn, 7, q0s[:, c]); posn += 7
+        bits = set_bits(bits, posn, 7, q1s[:, c]); posn += 7
+    bits = set_bits(bits, posn, 8, qa0s[:, 0]); posn += 8
+    bits = set_bits(bits, posn, 8, qa1s[:, 0]); posn += 8
+    bits = set_bits(bits, posn, 1, codes[:, 0]); posn += 1
+    for t_ in range(1, 16):
+        bits = set_bits(bits, posn, 2, codes[:, t_]); posn += 2
+    bits = set_bits(bits, posn, 1, acodes[:, 0]); posn += 1
+    for t_ in range(1, 16):
+        bits = set_bits(bits, posn, 2, acodes[:, t_]); posn += 2
+    return bits
+
+
 @partial(jax.jit, static_argnames=("refine_iters",))
 def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
     """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 blocks, adaptive mode.
 
-    Encodes each block in mode 6 (single subset, RGBA) and mode 1 (two
-    subsets, RGB) and keeps the lower-SSE encoding — exact decoder
-    semantics (_decode_mode) are used for the comparison, so the chosen
-    block is the one that truly reconstructs better.
+    Encodes each block in mode 6 (single subset, shared RGBA index), mode 5
+    (single subset, separate alpha index plane), and mode 1 (two subsets,
+    RGB) and keeps the lowest-SSE encoding — exact decoder semantics
+    (_decode_mode) are used for the comparison, so the chosen block is the
+    one that truly reconstructs better.
     """
     w6 = bc7_encode_blocks_mode6(pixels, refine_iters=refine_iters)
     w1 = bc7_encode_blocks_mode1(pixels, refine_iters=refine_iters)
+    w5 = bc7_encode_blocks_mode5(pixels, refine_iters=refine_iters)
     pxi = pixels.astype(_I32)
 
     def sse(words, mode):
@@ -590,5 +725,10 @@ def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         d = r - pxi
         return jnp.sum(d * d, axis=(1, 2))
 
-    use1 = (sse(w1, 1) < sse(w6, 6))[:, None]
-    return jnp.where(use1, w1, w6)
+    best_w, best_e = w6, sse(w6, 6)
+    for w, m in ((w1, 1), (w5, 5)):
+        e = sse(w, m)
+        take = (e < best_e)[:, None]
+        best_w = jnp.where(take, w, best_w)
+        best_e = jnp.minimum(best_e, e)
+    return best_w
