@@ -23,7 +23,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from hap_tpu.kernels.bc1 import _fit_endpoints_ls
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -176,13 +175,41 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         return a0, a1, codes
 
     a0, a1, codes = one_round(e0, e1)
+    vi = values.astype(_I32)
     for _ in range(refine_iters):
-        # gather-free weight select: codes 0/1 map to 0/1, k>=2 to (k-1)/7
-        cf = codes.astype(_F32)
-        w = jnp.where(codes == 0, 0.0, jnp.where(codes == 1, 1.0, (cf - 1.0) / 7.0))
-        e0n, e1n = _fit_endpoints_ls(
-            v[:, :, None], w, a0.astype(_F32)[:, None], a1.astype(_F32)[:, None]
-        )
-        a0, a1, codes = one_round(e0n[:, 0], e1n[:, 0])
+        # Least-squares endpoint refit in EXACT integer arithmetic. The
+        # interpolation weights are k/7 rationals, so the normal equations
+        # scale through by 7/49 into integers; the final rounded division
+        # is integer too. This pins the emitted bytes independent of XLA
+        # fusion context — f32 divisions here made the same block encode
+        # differently inside different jit graphs (sharded vs single-device
+        # pipelines diverged by one index bit on tie blocks).
+        w7 = jnp.where(
+            codes == 0, 0, jnp.where(codes == 1, 7, codes - 1)
+        )  # weight numerator over 7
+        sw7 = jnp.sum(w7, axis=1)
+        g49 = jnp.sum(w7 * w7, axis=1)  # gamma * 49
+        b49 = 7 * sw7 - g49  # beta * 49
+        a49 = 16 * 49 - 14 * sw7 + g49  # alpha * 49
+        r1_7 = jnp.sum(w7 * vi, axis=1)  # r1 * 7
+        r0_7 = 7 * jnp.sum(vi, axis=1) - r1_7
+        det = a49 * g49 - b49 * b49  # = 49^2 * det_true >= 0 (Cauchy-Schwarz)
+        # n = 49*7 * numerator_true, so e = n*7/det (49^2/343 = 7)
+        n0 = 7 * (g49 * r0_7 - b49 * r1_7)
+        n1 = 7 * (a49 * r1_7 - b49 * r0_7)
+        den = det
+
+        def div_round(n, d):
+            # round-half-away-from-zero n/d for d > 0, exact in int32
+            # (|n| <= 784 * 28560 * 2 < 2^26; 2|n|+d < 2^27)
+            return jnp.where(
+                n >= 0, (2 * n + d) // (2 * d), -((-2 * n + d) // (2 * d))
+            )
+
+        ok = det > 0
+        dsafe = jnp.where(ok, den, 1)
+        a0n = jnp.where(ok, jnp.clip(div_round(n0, dsafe), 0, 255), a0)
+        a1n = jnp.where(ok, jnp.clip(div_round(n1, dsafe), 0, 255), a1)
+        a0, a1, codes = one_round(a0n.astype(_F32), a1n.astype(_F32))
 
     return _pack_codes3(codes, a0, a1)

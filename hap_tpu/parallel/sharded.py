@@ -183,7 +183,7 @@ def sharded_spatial_roundtrip(
         payload_all = jax.lax.all_gather(payload, axes, axis=0, tiled=True)
         comp_all = jax.lax.all_gather(comp, axes, axis=0, tiled=True)
         len_all = jax.lax.all_gather(comp_len, axes, axis=0, tiled=True)
-        frame, flen = _assemble_frame(payload_all, comp_all, len_all, cc, fmt_id, g)
+        frame, flen, _ = _assemble_frame(payload_all, comp_all, len_all, cc, fmt_id, g)
 
         # Decode my chunk range straight from the frame bytes.
         msizes = mesh.devices.shape
