@@ -45,7 +45,9 @@ QUALITY_DB = {
 }
 
 
-@pytest.mark.parametrize("codec", [c for c in CODECS if c != "hap_hdr"])
+@pytest.mark.parametrize(
+    "codec", [c for c in CODECS if c not in ("hap_hdr", "hap_hdr_signed")]
+)
 def test_roundtrip_all_codecs(codec):
     spec = CODECS[codec]
     h, w = 48, 64

@@ -21,7 +21,12 @@ import numpy as np
 
 
 def make_frame(cls: str, seed: int, H: int, W: int) -> np.ndarray:
-    rng = np.random.default_rng(1000 * seed + hash(cls) % 997)
+    # zlib.crc32, NOT hash(): python string hashing is randomized per
+    # process (PYTHONHASHSEED), which would silently make "deterministic"
+    # content differ between runs/rounds.
+    import zlib
+
+    rng = np.random.default_rng(1000 * seed + zlib.crc32(cls.encode()) % 997)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
 
     if cls == "natural":
