@@ -23,7 +23,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_step():
+def _run_distributed(nprocs: int, local_devices: int, timeout: int = 280):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -31,17 +31,30 @@ def test_two_process_distributed_step():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "multihost_worker.py"),
-             coordinator, "2", str(pid), "4"],
+             coordinator, str(nprocs), str(pid), str(local_devices)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=280)
+        out, err = p.communicate(timeout=timeout)
         assert p.returncode == 0, f"worker failed: {err[-2000:]}"
         outs.append(out.strip().splitlines()[-1])
-    # Both processes saw the 8-device global mesh and agreed on the psum.
+    ndev = nprocs * local_devices
+    # Every process saw the global mesh and agreed on the psum/frame CRC.
     for line in outs:
-        assert line.startswith("OK 8 "), line
-    assert outs[0] == outs[1]
+        assert line.startswith(f"OK {ndev} "), line
+    assert len(set(outs)) == 1
+    return outs
+
+
+def test_two_process_distributed_step():
+    _run_distributed(2, 4)
+
+
+def test_four_process_distributed_step():
+    """4 'hosts' x 2 CPU devices: collectives cross three process
+    boundaries (BASELINE config 5's scaling story, more process edges than
+    the 2-process case)."""
+    _run_distributed(4, 2, timeout=420)
