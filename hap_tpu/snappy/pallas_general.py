@@ -119,13 +119,19 @@ def _decode_varint_preamble(comp_ref, c, clen, ulen, S_max, nin):
     return hdr, ok0
 
 
+def _default_impl() -> str:
+    import os
+
+    return os.environ.get("HAP_TPU_SNAPPY_GENERAL_IMPL", "hybrid")
+
+
 @functools.partial(jax.jit, static_argnames=("S_max", "impl"))
 def decode_any_streams(
     comp: jnp.ndarray,  # (C, B) uint8 — one Snappy stream per row
     comp_len: jnp.ndarray,  # (C,) int32 — true stream lengths
     out_len: jnp.ndarray,  # (C,) int32 — expected uncompressed lengths
     S_max: int,  # static bound: every out_len <= S_max
-    impl: str = "interleaved",
+    impl: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode C arbitrary conforming Snappy streams -> ((C, S_max) u8, ok).
 
@@ -134,14 +140,19 @@ def decode_any_streams(
     or preamble != out_len[c]); its output row is then undefined but every
     access stays in-bounds.
 
-    impl="interleaved" (default) walks all chunks of a grid step as
-    independent interleaved chains inside ONE while_loop — each chain's
-    element walk is a serial dependency, so issuing tc chains per iteration
-    hides the chain latency behind vector work (same idiom as the
-    structured kernel's _UJ chains). A literal element is consumed 128
-    bytes per iteration via a continuation state instead of an inner loop,
-    which keeps the chains in lockstep-shaped control flow.
-    impl="serial" is the one-chunk-at-a-time walk kept for A/B timing.
+    impl=None resolves via HAP_TPU_SNAPPY_GENERAL_IMPL (default "hybrid").
+    "interleaved" walks all chunks of a grid step as independent
+    interleaved chains inside ONE while_loop — each chain's element walk is
+    a serial dependency, so issuing tc chains per iteration hides the chain
+    latency behind vector work (same idiom as the structured kernel's _UJ
+    chains). A literal element is consumed 128 bytes per iteration via a
+    continuation state instead of an inner loop, which keeps the chains in
+    lockstep-shaped control flow. "hybrid" (default, fastest measured:
+    1.6-1.8x on real HapEncode 4K streams) keeps that straight-line body
+    but predicates the period-doubling rounds on an actually-overlapping
+    copy; "branch" additionally puts literal/copy work in per-chain
+    branches (skips the most work but loses cross-chain instruction
+    overlap); "serial" is the one-chunk-at-a-time walk kept for A/B timing.
 
     Load balance: interleaved chains run in lockstep, so a grid step costs
     its LONGEST chain. Rows are sorted by descending comp_len (element count
@@ -149,6 +160,10 @@ def decode_any_streams(
     sum-of-group-maxima is minimized by contiguous groups in sorted order.
     Outputs are unsorted back before returning.
     """
+    if impl is None:
+        # Env-selectable default (trace-time; first call per shape wins the
+        # jit cache entry): HAP_TPU_SNAPPY_GENERAL_IMPL=interleaved|branch|serial
+        impl = _default_impl()
     C0, B = comp.shape
     nin = -(-B // 128) + 3
     nout = -(-S_max // 128) + 2
@@ -295,6 +310,304 @@ def decode_any_streams(
             okc = okc & (cursor == clens[j]) & (op == ulens[j]) & (lit_rem == 0)
             ok_ref[j, 0] = okc.astype(_I32)
 
+    def kernel_branch(meta_ref, comp_ref, out_ref, ok_ref, vtmp_ref):
+        """Interleaved chains with PREDICATED vector work (pl.when).
+
+        The interleaved kernel pays every element's worst case: copy-source
+        window read + 6 period-doubling rounds + both source formations run
+        unconditionally and cost ~700 ns/element on v5e. Real streams are
+        dominated by elements that need almost none of it (measured on real
+        HapEncode 4K output, tools/probe_element_stats.py: graphics 10.5%
+        of copies overlap, noise 0.1%, natural 99% but with structured
+        offsets where one or two doubling rounds suffice). Chains execute
+        sequentially on the scalar core either way — the kernel is
+        throughput-bound, not latency-bound — so skipping work in branches
+        scales wall clock directly:
+
+          literal          -> window roll + store only
+          copy, off >= 64  -> source window read + store (no rounds)
+          copy, overlap    -> + exactly ceil(log2(64 / off)) gated rounds
+
+        ``vtmp_ref`` is (tc, 128) scratch holding the copy-source vector
+        across the gated rounds (pl.when bodies mutate refs, not values).
+        """
+        clens = [meta_ref[j, 0] for j in range(tc)]
+        ulens = [meta_ref[j, 1] for j in range(tc)]
+        lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
+
+        cursors, oks = [], []
+        for j in range(tc):
+            hdr, ok0 = _decode_varint_preamble(
+                comp_ref, j, clens[j], ulens[j], S_max, nin)
+            cursors.append(hdr)
+            oks.append(ok0)
+        ops = [jnp.int32(0)] * tc
+        lit_rems = [jnp.int32(0)] * tc
+
+        def actives(carry):
+            return [
+                carry[4 * j + 3]
+                & ((carry[4 * j] < clens[j]) | (carry[4 * j + 2] > 0))
+                for j in range(tc)
+            ]
+
+        def cond(carry):
+            a = actives(carry)
+            r = a[0]
+            for x in a[1:]:
+                r = r | x
+            return r
+
+        def chain_step(j, cursor, op, lit_rem, okc, active):
+            win = _read_window(comp_ref, j, cursor, nin)
+            fresh = lit_rem == 0
+            tag = win[0, 0]
+            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
+            ttype = tag & 3
+            len6 = tag >> 2
+            is_lit = ttype == 0
+
+            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
+            ext = (
+                b1
+                + jnp.where(len6 >= 61, b2 << 8, 0)
+                + jnp.where(len6 >= 62, b3 << 16, 0)
+                + jnp.where(len6 >= 63, b4 << 24, 0)
+            )  # may wrap negative for absurd lengths -> rejected below
+            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
+
+            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
+            cp_off = jnp.where(
+                ttype == 1,
+                ((tag >> 5) << 8) | b1,
+                jnp.where(
+                    ttype == 2,
+                    b1 | (b2 << 8),
+                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+                ),
+            )
+            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+
+            elen = jnp.where(is_lit, lit_len, cp_len)
+            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
+            fresh_ok = (
+                (elen >= 1)
+                & (in_need >= 1)
+                & (cursor + in_need <= clens[j])
+                & (op + elen <= ulens[j])
+                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
+            )
+            oke = okc & jnp.where(fresh & active, fresh_ok, True)
+            go = oke & active
+
+            eff_lit = jnp.where(fresh, is_lit, True)
+            hdr_eff = jnp.where(fresh, jnp.where(is_lit, lit_hdr, cp_hdr), 0)
+            lit_total = jnp.where(fresh, lit_len, lit_rem)
+            m_lit = jnp.minimum(128, lit_total)
+            m = jnp.where(go, jnp.where(eff_lit, m_lit, cp_len), 0)
+
+            go_lit = go & eff_lit
+            go_cp = go & ~eff_lit
+
+            @pl.when(go_lit)
+            def _():
+                litwin = pltpu.roll(win, 512 - hdr_eff, 1)
+                _merge_store(out_ref, j, op, litwin, m, nout)
+
+            @pl.when(go_cp)
+            def _():
+                src = jnp.maximum(op - cp_off, 0)
+                wsrc = _read_window(out_ref, j, src, nout)
+                vtmp_ref[j, :] = wsrc[0, :128]
+                p0 = jnp.minimum(cp_off, 64)  # clamp before <<: no i32 wrap
+                for k in range(6):
+                    shift = p0 << k  # round k extends period to 2^k*off
+                    @pl.when(shift < 64)
+                    def _():
+                        v = vtmp_ref[j, :].reshape(1, 128)
+                        vv = jnp.where(
+                            lane128 >= shift, pltpu.roll(v, shift, 1), v)
+                        vtmp_ref[j, :] = vv[0]
+                v512 = jnp.concatenate(
+                    [vtmp_ref[j, :].reshape(1, 128),
+                     jnp.zeros((1, 384), _I32)], axis=1)
+                _merge_store(out_ref, j, op, v512, m, nout)
+
+            adv_in = jnp.where(eff_lit, hdr_eff + m_lit, cp_hdr)
+            adv_out = jnp.where(eff_lit, m_lit, cp_len)
+            cursor = jnp.where(go, cursor + adv_in, cursor)
+            op = jnp.where(go, op + adv_out, op)
+            lit_rem = jnp.where(
+                go, jnp.where(eff_lit, lit_total - m_lit, 0), lit_rem)
+            return cursor, op, lit_rem, oke
+
+        def body(carry):
+            act = actives(carry)
+            out = []
+            for j in range(tc):
+                out.extend(chain_step(
+                    j, carry[4 * j], carry[4 * j + 1],
+                    carry[4 * j + 2], carry[4 * j + 3], act[j],
+                ))
+            return tuple(out)
+
+        carry = tuple(
+            x for j in range(tc) for x in (cursors[j], ops[j], lit_rems[j], oks[j])
+        )
+        carry = jax.lax.while_loop(cond, body, carry)
+        for j in range(tc):
+            cursor, op, lit_rem, okc = (
+                carry[4 * j], carry[4 * j + 1], carry[4 * j + 2], carry[4 * j + 3]
+            )
+            okc = okc & (cursor == clens[j]) & (op == ulens[j]) & (lit_rem == 0)
+            ok_ref[j, 0] = okc.astype(_I32)
+
+    def kernel_hybrid(meta_ref, comp_ref, out_ref, ok_ref, vtmp_ref):
+        """Straight-line interleaved chains; ONLY the doubling is predicated.
+
+        kernel_branch puts literal/copy work in per-chain branches, which
+        stops Mosaic from overlapping the 8 chains' loads and rolls
+        (control-flow regions are scheduling barriers) — it wins on skipped
+        work but loses cross-chain ILP. This variant keeps the straight-line
+        body of kernel_interleaved (window reads, source formation, merge
+        store all unconditional, freely interleavable across chains) and
+        predicates exactly one thing: the 6 period-doubling rounds, gated
+        per chain on an actually-overlapping copy (off < min(len, 64)) and
+        executed round-by-round only while 2^k*off < 64. Overlap copies are
+        the rare case on real streams (tools/probe_element_stats.py).
+        """
+        clens = [meta_ref[j, 0] for j in range(tc)]
+        ulens = [meta_ref[j, 1] for j in range(tc)]
+        lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
+
+        cursors, oks = [], []
+        for j in range(tc):
+            hdr, ok0 = _decode_varint_preamble(
+                comp_ref, j, clens[j], ulens[j], S_max, nin)
+            cursors.append(hdr)
+            oks.append(ok0)
+        ops = [jnp.int32(0)] * tc
+        lit_rems = [jnp.int32(0)] * tc
+
+        def actives(carry):
+            return [
+                carry[4 * j + 3]
+                & ((carry[4 * j] < clens[j]) | (carry[4 * j + 2] > 0))
+                for j in range(tc)
+            ]
+
+        def cond(carry):
+            a = actives(carry)
+            r = a[0]
+            for x in a[1:]:
+                r = r | x
+            return r
+
+        def chain_step(j, cursor, op, lit_rem, okc, active):
+            win = _read_window(comp_ref, j, cursor, nin)
+            fresh = lit_rem == 0
+            tag = win[0, 0]
+            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
+            ttype = tag & 3
+            len6 = tag >> 2
+            is_lit = ttype == 0
+
+            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
+            ext = (
+                b1
+                + jnp.where(len6 >= 61, b2 << 8, 0)
+                + jnp.where(len6 >= 62, b3 << 16, 0)
+                + jnp.where(len6 >= 63, b4 << 24, 0)
+            )  # may wrap negative for absurd lengths -> rejected below
+            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
+
+            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
+            cp_off = jnp.where(
+                ttype == 1,
+                ((tag >> 5) << 8) | b1,
+                jnp.where(
+                    ttype == 2,
+                    b1 | (b2 << 8),
+                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+                ),
+            )
+            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+
+            elen = jnp.where(is_lit, lit_len, cp_len)
+            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
+            fresh_ok = (
+                (elen >= 1)
+                & (in_need >= 1)
+                & (cursor + in_need <= clens[j])
+                & (op + elen <= ulens[j])
+                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
+            )
+            oke = okc & jnp.where(fresh & active, fresh_ok, True)
+            go = oke & active
+
+            eff_lit = jnp.where(fresh, is_lit, True)
+            hdr_eff = jnp.where(fresh, jnp.where(is_lit, lit_hdr, cp_hdr), 0)
+            lit_total = jnp.where(fresh, lit_len, lit_rem)
+            m_lit = jnp.minimum(128, lit_total)
+
+            litwin = pltpu.roll(win, 512 - hdr_eff, 1)[:, :256]
+
+            src = jnp.maximum(op - cp_off, 0)
+            wsrc = _read_window(out_ref, j, src, nout)
+            vtmp_ref[j, :] = wsrc[0, :128]
+            p0 = jnp.minimum(cp_off, 64)  # clamp before <<: no i32 wrap
+            overlap = go & ~eff_lit & (p0 < jnp.minimum(cp_len, 64))
+
+            @pl.when(overlap)
+            def _():
+                for k in range(6):
+                    shift = p0 << k  # round k extends period to 2^k*off
+                    @pl.when(shift < 64)
+                    def _():
+                        v = vtmp_ref[j, :].reshape(1, 128)
+                        vv = jnp.where(
+                            lane128 >= shift, pltpu.roll(v, shift, 1), v)
+                        vtmp_ref[j, :] = vv[0]
+
+            v128 = vtmp_ref[j, :].reshape(1, 128)
+            vsel = jnp.where(
+                eff_lit, litwin,
+                jnp.concatenate([v128, jnp.zeros((1, 128), _I32)], axis=1))
+            v512 = jnp.concatenate([vsel, jnp.zeros((1, 256), _I32)], axis=1)
+            m = jnp.where(go, jnp.where(eff_lit, m_lit, cp_len), 0)
+            _merge_store(out_ref, j, op, v512, m, nout)
+
+            adv_in = jnp.where(eff_lit, hdr_eff + m_lit, cp_hdr)
+            adv_out = jnp.where(eff_lit, m_lit, cp_len)
+            cursor = jnp.where(go, cursor + adv_in, cursor)
+            op = jnp.where(go, op + adv_out, op)
+            lit_rem = jnp.where(
+                go, jnp.where(eff_lit, lit_total - m_lit, 0), lit_rem)
+            return cursor, op, lit_rem, oke
+
+        def body(carry):
+            act = actives(carry)
+            out = []
+            for j in range(tc):
+                out.extend(chain_step(
+                    j, carry[4 * j], carry[4 * j + 1],
+                    carry[4 * j + 2], carry[4 * j + 3], act[j],
+                ))
+            return tuple(out)
+
+        carry = tuple(
+            x for j in range(tc) for x in (cursors[j], ops[j], lit_rems[j], oks[j])
+        )
+        carry = jax.lax.while_loop(cond, body, carry)
+        for j in range(tc):
+            cursor, op, lit_rem, okc = (
+                carry[4 * j], carry[4 * j + 1], carry[4 * j + 2], carry[4 * j + 3]
+            )
+            okc = okc & (cursor == clens[j]) & (op == ulens[j]) & (lit_rem == 0)
+            ok_ref[j, 0] = okc.astype(_I32)
+
     def kernel(meta_ref, comp_ref, out_ref, ok_ref):
         def chunk_body(c, _):
             clen = meta_ref[c, 0]
@@ -405,8 +718,14 @@ def decode_any_streams(
 
         jax.lax.fori_loop(0, meta_ref.shape[0], chunk_body, 0)
 
+    kernels = {
+        "interleaved": kernel_interleaved,
+        "branch": kernel_branch,
+        "hybrid": kernel_hybrid,
+        "serial": kernel,
+    }
     out, ok = pl.pallas_call(
-        kernel_interleaved if impl == "interleaved" else kernel,
+        kernels[impl],
         grid=(C // tc,),
         in_specs=[
             pl.BlockSpec((tc, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -419,6 +738,9 @@ def decode_any_streams(
         out_shape=(
             jax.ShapeDtypeStruct((C, nout, 128), _I32),
             jax.ShapeDtypeStruct((C, 1), _I32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((tc, 128), _I32)] if impl in ("branch", "hybrid") else []
         ),
         interpret=_interpret(),
     )(meta, comp_blocks)

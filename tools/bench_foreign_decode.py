@@ -86,7 +86,8 @@ def main():
         ulen_d = jax.device_put(jnp.asarray(usizes[sel], jnp.int32), dev)
         pix_share = H * W * float(usizes[sel].sum()) / float(usizes.sum())
 
-        for impl in ("interleaved", "serial"):
+        impls = os.environ.get("BENCH_IMPLS", "branch,interleaved").split(",")
+        for impl in impls:
             fn = jax.jit(functools_partial(decode_any_streams, S_max=S_max,
                                            impl=impl))
             t0 = time.time()

@@ -35,12 +35,13 @@ _I32 = jnp.int32
 TC = 8
 NIN = 128   # 16 KB stream window per chain
 NOUT = 1015  # ~130 KB output per chain
-ITERS = 2000
+ITERS = int(os.environ.get("PROBE_ITERS", "2000"))
 
 
 def make_kernel(variant):
     def kernel(comp_ref, out_ref, ok_ref):
         lane256 = jax.lax.broadcasted_iota(_I32, (1, 256), 1)
+        lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
 
         def body(carry):
             i = carry[0]
@@ -75,6 +76,34 @@ def make_kernel(variant):
                                     (b[2] & 63) + 1, NOUT)
                             else:
                                 nxt = nxt + v[0, 0]
+                        elif variant == "copysrc_ro":
+                            # same work, but source = read-only comp_ref:
+                            # isolates the out_ref read-after-write chain.
+                            src = jnp.maximum(cur % (NIN * 100) - 64, 0)
+                            wsrc = _read_window(comp_ref, j, src, NIN)
+                            v = wsrc[:, :256]
+                            valid = jnp.clip(b[1] + 1, 1, 64)
+                            for _ in range(6):
+                                v = jnp.where(
+                                    lane256 >= valid, pltpu.roll(v, valid, 1), v)
+                                valid = jnp.minimum(valid * 2, 128)
+                            nxt = nxt + v[0, 0]
+                        elif variant == "dbl128":
+                            # doubling on 128 lanes only (copies emit <= 64 B)
+                            src = jnp.maximum(cur % (NOUT * 100) - 64, 0)
+                            wsrc = _read_window(out_ref, j, src, NOUT)
+                            v = wsrc[:, :128]
+                            valid = jnp.clip(b[1] + 1, 1, 64)
+                            for _ in range(6):
+                                v = jnp.where(
+                                    lane128 >= valid, pltpu.roll(v, valid, 1), v)
+                                valid = jnp.minimum(valid * 2, 64)
+                            nxt = nxt + v[0, 0]
+                        elif variant == "nodbl":
+                            # out_ref window read alone, no doubling rounds
+                            src = jnp.maximum(cur % (NOUT * 100) - 64, 0)
+                            wsrc = _read_window(out_ref, j, src, NOUT)
+                            nxt = nxt + wsrc[0, 0]
                 acc.append(nxt)
             return tuple([i + 1] + acc)
 
@@ -125,7 +154,8 @@ def main():
     rng = np.random.default_rng(0)
     comp = jax.device_put(
         jnp.asarray(rng.integers(0, 256, (TC, NIN, 128), np.int64), _I32), dev)
-    for v in ("base", "window", "winx", "copysrc", "store"):
+    variants = os.environ.get("PROBE_VARIANTS", "base,window,winx,copysrc,store")
+    for v in variants.split(","):
         run(v, comp, dev)
     # sync-floor reference
     t0 = time.time()
