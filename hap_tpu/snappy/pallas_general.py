@@ -62,16 +62,21 @@ def _read_window(ref, c, cursor, nblk):
     return pltpu.roll(win, shift, 1)
 
 
-def _merge_store(out_ref, c, dst, vec512, m, nout):
-    """Write lanes [0, m) of vec512 to output bytes [dst, dst+m); m <= 128.
+def _merge_store(out_ref, c, dst, vec512, m, nout, pre=0):
+    """Write lanes [pre, pre+m) of vec512 to output bytes [dst, dst+m).
 
-    m == 0 writes nothing (the merge mask is empty) but must still be safe
-    for arbitrary dst, hence the clamps.
+    m <= 128; ``pre`` (0..127) skips leading lanes of the source — this
+    folds a separate pre-alignment roll (e.g. a literal's header skip) into
+    the placement roll, one dynamic roll instead of two. m == 0 writes
+    nothing (the merge mask is empty) but must still be safe for arbitrary
+    dst, hence the clamps.
     """
     dstc = jnp.clip(dst, 0, nout * 128 - 256)
     blk = dstc // 128
     r = dstc - blk * 128
-    placed = pltpu.roll(vec512, r, 1)[:, :256]
+    s = r - pre
+    s = jnp.where(s < 0, s + 512, s)
+    placed = pltpu.roll(vec512, s, 1)[:, :256]
     lane = jax.lax.broadcasted_iota(_I32, (1, 256), 1)
     mask = (lane >= r) & (lane < r + m)
     cur = jnp.concatenate(
@@ -552,8 +557,6 @@ def decode_any_streams(
             lit_total = jnp.where(fresh, lit_len, lit_rem)
             m_lit = jnp.minimum(128, lit_total)
 
-            litwin = pltpu.roll(win, 512 - hdr_eff, 1)[:, :256]
-
             src = jnp.maximum(op - cp_off, 0)
             wsrc = _read_window(out_ref, j, src, nout)
             vtmp_ref[j, :] = wsrc[0, :128]
@@ -571,13 +574,15 @@ def decode_any_streams(
                             lane128 >= shift, pltpu.roll(v, shift, 1), v)
                         vtmp_ref[j, :] = vv[0]
 
+            # Literal source = the raw parse window (header skipped via the
+            # store's fused pre-roll, not a separate roll here).
             v128 = vtmp_ref[j, :].reshape(1, 128)
-            vsel = jnp.where(
-                eff_lit, litwin,
-                jnp.concatenate([v128, jnp.zeros((1, 128), _I32)], axis=1))
-            v512 = jnp.concatenate([vsel, jnp.zeros((1, 256), _I32)], axis=1)
+            v512 = jnp.where(
+                eff_lit, win,
+                jnp.concatenate([v128, jnp.zeros((1, 384), _I32)], axis=1))
             m = jnp.where(go, jnp.where(eff_lit, m_lit, cp_len), 0)
-            _merge_store(out_ref, j, op, v512, m, nout)
+            pre = jnp.where(eff_lit, hdr_eff, 0)
+            _merge_store(out_ref, j, op, v512, m, nout, pre=pre)
 
             adv_in = jnp.where(eff_lit, hdr_eff + m_lit, cp_hdr)
             adv_out = jnp.where(eff_lit, m_lit, cp_len)
