@@ -44,6 +44,12 @@ def _ceil(n: int, g: int) -> int:
     return -(-n // g) * g
 
 
+def _default_snappy_route() -> str:
+    import os
+
+    return os.environ.get("HAP_TPU_FOREIGN_SNAPPY", "table")
+
+
 @partial(jax.jit, static_argnames=("S_max", "B_comp", "total_bytes"))
 def _decode_payload_from_frame(
     frame_pad: jnp.ndarray,  # (>= F + S_max + B_comp,) uint8 frame bytes
@@ -72,10 +78,27 @@ def _decode_payload_from_frame(
     klen = jnp.where(is_comp, comp_len, 0)
     dec, ok = decode_any_streams(comp, klen, jnp.where(is_comp, out_len, 0), S_max)
     ok_all = jnp.all(ok | ~is_comp)
+    return _stitch_payload(
+        frame_pad, dec, comp_off, out_off, is_comp, S_max, total_bytes
+    ), ok_all
 
-    # Stitch rows at their uncompressed offsets. Chunks are written in
-    # increasing-offset order, so each S_max-wide padded write is healed by
-    # the next chunk's write (same idiom as encode_frame_device).
+
+@partial(jax.jit, static_argnames=("S_max", "total_bytes"))
+def _stitch_payload(
+    frame_pad: jnp.ndarray,
+    dec: jnp.ndarray,  # (C, S_max) uint8 decoded snappy rows
+    comp_off: jnp.ndarray,
+    out_off: jnp.ndarray,
+    is_comp: jnp.ndarray,
+    S_max: int,
+    total_bytes: int,
+) -> jnp.ndarray:
+    """Place decoded/raw chunk rows at their uncompressed offsets.
+
+    Chunks are written in increasing-offset order, so each S_max-wide
+    padded write is healed by the next chunk's write (same idiom as
+    encode_frame_device).
+    """
     order = jnp.argsort(out_off)
     buf = jnp.zeros(total_bytes + S_max, jnp.uint8)
 
@@ -85,7 +108,7 @@ def _decode_payload_from_frame(
         return jax.lax.dynamic_update_slice(buf, row, (out_off[c],)), None
 
     buf, _ = jax.lax.scan(body, buf, order)
-    return buf[:total_bytes], ok_all
+    return buf[:total_bytes]
 
 
 def _texture_payload_device(
@@ -116,14 +139,78 @@ def _texture_payload_device(
     )
 
 
+def _texture_payload_device_tables(
+    frame: bytes, frame_dev: jnp.ndarray, tex
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parse/execute-split route: host compiles each Snappy chunk stream
+    into an op table (snappy/optable.py — merged runs, expanded overlaps,
+    compacted literal plane); the Pallas executor (snappy/pallas_exec.py)
+    replays them with pure vector moves. ~7x the fused general kernel on
+    real HapEncode streams; the host walk is the CPU-shaped part of the
+    job (the reference hands it to google snappy's CPU parser, hap.c:612)
+    and overlaps with device compute when serving GOPs.
+    """
+    from hap_tpu.snappy.optable import pack_tables
+    from hap_tpu.snappy.pallas_exec import execute_op_tables
+
+    csizes = np.asarray(tex.chunk_compressed_sizes, np.int64)
+    usizes = np.asarray(tex.chunk_uncompressed_sizes, np.int64)
+    is_comp = np.asarray(tex.chunk_compressors) == CHUNK_COMPRESSOR_SNAPPY
+    S_max = int(usizes.max())
+    frame_np = np.frombuffer(frame, np.uint8)
+    streams = []
+    exp = []
+    for i in range(len(csizes)):
+        if is_comp[i]:
+            o = int(tex.chunk_compressed_offsets[i])
+            streams.append(frame_np[o: o + int(csizes[i])].tobytes())
+            exp.append(int(usizes[i]))
+        else:
+            streams.append(b"")
+            exp.append(0)
+    # Raw chunks get an empty table (ok=False there is fine — they bypass
+    # the kernel and are sliced from the frame in the stitch).
+    p = pack_tables(streams, exp)
+    ok_host = bool((p.ok | ~is_comp).all())
+    # Bucket shapes so jit recompiles are bounded per stream.
+    nmax = _ceil(max(p.ops.shape[1], 64), 512)
+    lmax = _ceil(max(p.lit.shape[1], 128), 4096 if p.lit.shape[1] > 128 else 128)
+    ops = np.zeros((p.ops.shape[0], nmax, 2), np.int32)
+    ops[:, : p.ops.shape[1]] = p.ops
+    lit = np.zeros((p.lit.shape[0], lmax), np.uint8)
+    lit[:, : p.lit.shape[1]] = p.lit
+    dec = execute_op_tables(
+        jnp.asarray(ops), jnp.asarray(p.n_ops), jnp.asarray(lit),
+        jnp.asarray(p.out_len), S_max)
+    need = int(np.asarray(tex.chunk_compressed_offsets).max()) + S_max
+    if frame_dev.shape[0] < need:
+        frame_dev = jnp.pad(frame_dev, (0, need - frame_dev.shape[0]))
+    payload = _stitch_payload(
+        frame_dev,
+        dec,
+        jnp.asarray(np.asarray(tex.chunk_compressed_offsets), _I32),
+        jnp.asarray(np.asarray(tex.chunk_uncompressed_offsets), _I32),
+        jnp.asarray(is_comp),
+        S_max,
+        int(tex.decoded_bytes),
+    )
+    return payload, jnp.bool_(ok_host)
+
+
 def decode_frame_any_device(
-    frame, height: int, width: int, frame_dev: Optional[jnp.ndarray] = None
+    frame, height: int, width: int, frame_dev: Optional[jnp.ndarray] = None,
+    snappy: Optional[str] = None,
 ):
     """Decode any legal Hap frame, all compute and outputs on device.
 
     Returns (pixels device array (H, W, C), ok device scalar). Pass
     ``frame_dev`` (uint8 device array of the same bytes, e.g. already
     resident from a previous stage) to skip the host->device upload.
+
+    ``snappy`` picks the general-decode route: "table" (default; host
+    op-table compile + Pallas executor) or "kernel" (fused on-device
+    general kernel — no host byte-walk, for frames whose bytes are only
+    on device). Env default: HAP_TPU_FOREIGN_SNAPPY.
     """
     from hap_tpu.container.parse import parse_frame
     from hap_tpu.kernels.layout import pack_u8_to_u32
@@ -132,6 +219,8 @@ def decode_frame_any_device(
     frame = bytes(frame)
     spec = codec_for_frame(frame)
     plan = parse_frame(frame)
+    if snappy is None:
+        snappy = _default_snappy_route()
     if frame_dev is None:
         # Bucketed upload length: bounded recompiles across a stream.
         fpad = _ceil(len(frame), 1 << 20)
@@ -142,9 +231,14 @@ def decode_frame_any_device(
     images = []
     ok_all = jnp.bool_(True)
     for index, fmt in enumerate(spec.texture_formats):
-        payload, ok = _texture_payload_device(
-            frame_dev, len(frame), plan.textures[index]
-        )
+        if snappy == "table":
+            payload, ok = _texture_payload_device_tables(
+                frame, frame_dev, plan.textures[index]
+            )
+        else:
+            payload, ok = _texture_payload_device(
+                frame_dev, len(frame), plan.textures[index]
+            )
         ok_all = ok_all & ok
         dec, wpb = _DECODERS[fmt]
         words = pack_u8_to_u32(payload.reshape(-1, 4)).reshape(-1, wpb)
@@ -157,14 +251,17 @@ def decode_frame_any_device(
 
 
 def decode_frame_any(
-    frame, height: int, width: int, via: str = "device"
+    frame, height: int, width: int, via: str = "device",
+    snappy: Optional[str] = None,
 ) -> Tuple[np.ndarray, bool]:
     """Decode any legal Hap frame to (H, W, C) host pixels.
 
-    via="device": general Snappy Pallas kernel (decode_frame_any_device).
+    via="device": on-device byte plane (decode_frame_any_device; ``snappy``
+    selects "table" — host op-table compile + Pallas executor, default —
+    or "kernel" — fused on-device general kernel).
     via="native": the C++ runtime decompresses on host (multithreaded),
-    only texture decode runs on device — the throughput route for foreign
-    streams (byte-serial LZ is CPU-shaped; see module docstring).
+    only texture decode runs on device — the route for frames that are
+    cheaper to finish on CPU than to ship (see module docstring).
 
     Returns (pixels, ok). ok is False only for streams flagged malformed —
     the caller should then raise via the host path
@@ -172,7 +269,7 @@ def decode_frame_any(
     """
     if via == "native":
         return _decode_frame_any_native(frame, height, width)
-    img, ok = decode_frame_any_device(frame, height, width)
+    img, ok = decode_frame_any_device(frame, height, width, snappy=snappy)
     return np.asarray(img), bool(ok)
 
 

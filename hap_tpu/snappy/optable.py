@@ -1,0 +1,232 @@
+"""Host-side Snappy stream -> op-table compiler for the TPU executor.
+
+The parse/execute split for foreign-frame decode: byte-serial tag walking
+is CPU-shaped work (the reference consumes google snappy's CPU parser,
+hap.c:612), so the host compiles each stream into a fixed-shape table of
+uniform ops that the Pallas executor (snappy/pallas_exec.py) replays with
+pure vector moves — no tag decode, no validation, and no overlap
+period-doubling on device. This is the same division of labor the
+framework's container layer already uses (SURVEY.md §7: host planner emits
+fixed-shape index tables; jitted code consumes them).
+
+Compilation steps per stream:
+
+1. Walk elements, validating EXACTLY like the decoders (bounds, offset
+   >= 1 and <= bytes produced, preamble == expected length, termination
+   at the stream end) — a malformed stream yields ok=False and no table.
+2. Compact all literal bytes into a dense plane (stream order).
+3. Merge consecutive copies with equal offset (google snappy splits long
+   matches into <= 64-byte elements, hap.c:453's emitter; vertical-match
+   runs at off = row stride and RLE fills re-fuse into single long ops —
+   measured 1.7-54x element reduction, tools/probe_merge_stats.py), and
+   merge consecutive literals.
+4. Expand every overlapping copy (off < min(m, 128)) into a
+   doubling-offset sequence of NON-overlapping copies:
+   (off, m) -> (off, off), (2*off, min(2*off, m-off)), (4*off, ...) ...
+   Each emitted op satisfies off_k >= m_k, so the executor's 128-byte
+   pieces never read bytes they are writing; the period-doubling rounds
+   (the dominant per-element cost of the fused kernel,
+   tools/probe_general_cost.py) disappear from the device entirely.
+
+Op encoding (int32 x 2): [m, off]; off == 0 means literal (source = the
+literal plane at the running literal cursor), off > 0 means copy from
+``off`` bytes back in the output.
+
+The kernel invariant delivered: every op has m >= 1, and off == 0 or
+(off >= min(m, 128) and off <= bytes-already-produced).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class OpTable:
+    ops: np.ndarray  # (N, 2) int32 [m, off]; off==0 -> literal
+    lit: np.ndarray  # (L,) uint8 dense literal plane, stream order
+    out_len: int  # decoded size (== validated varint preamble)
+
+
+def _read_varint(view, pos: int, n: int) -> Tuple[Optional[int], int]:
+    val = 0
+    shift = 0
+    for _ in range(5):
+        if pos >= n:
+            return None, pos
+        b = view[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if b < 0x80:
+            if val >= 1 << 32:
+                return None, pos
+            return val, pos
+        shift += 7
+    return None, pos
+
+
+def build_op_table(stream: bytes, expected_len: Optional[int] = None
+                   ) -> Optional[OpTable]:
+    """Compile one Snappy stream; None if malformed (same accept/reject
+    surface as snappy/pyref.py — differentially tested)."""
+    view = memoryview(stream)
+    n = len(view)
+    out_len, pos = _read_varint(view, 0, n)
+    if out_len is None:
+        return None
+    if expected_len is not None and out_len != expected_len:
+        return None
+
+    raw: List[Tuple[int, int, int]] = []  # (m, off, lit_pos)
+    lit_parts: List[Tuple[int, int]] = []  # (start, len) into stream
+    op = 0
+    while pos < n:
+        tag = view[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:
+            length = (tag >> 2) + 1
+            if length > 60:
+                extra = length - 60
+                if pos + extra > n:
+                    return None
+                length = int.from_bytes(view[pos:pos + extra], "little") + 1
+                pos += extra
+            if pos + length > n or op + length > out_len:
+                return None
+            lit_parts.append((pos, length))
+            raw.append((length, 0, 0))
+            pos += length
+            op += length
+        else:
+            if kind == 1:
+                if pos + 1 > n:
+                    return None
+                length = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | view[pos]
+                pos += 1
+            elif kind == 2:
+                if pos + 2 > n:
+                    return None
+                length = (tag >> 2) + 1
+                off = view[pos] | (view[pos + 1] << 8)
+                pos += 2
+            else:
+                if pos + 4 > n:
+                    return None
+                length = (tag >> 2) + 1
+                off = int.from_bytes(view[pos:pos + 4], "little")
+                pos += 4
+            if off < 1 or off > op or op + length > out_len:
+                return None
+            raw.append((length, off, 0))
+            op += length
+    if op != out_len:
+        return None
+
+    # -- merge consecutive same-off copies / consecutive literals ---------
+    merged: List[List[int]] = []
+    for m, off, _ in raw:
+        if merged and merged[-1][1] == off and (
+                off > 0 or merged[-1][1] == 0):
+            merged[-1][0] += m
+        else:
+            merged.append([m, off])
+
+    # -- expand overlap copies into non-overlapping doubling sequence -----
+    ops: List[Tuple[int, int]] = []
+    for m, off in merged:
+        if off == 0 or off >= min(m, 128):
+            ops.append((m, off))
+            continue
+        # period-doubling expansion: each emitted op has off_k >= m_k
+        cur_off, rem = off, m
+        while rem > 0 and cur_off < 128:
+            take = min(cur_off, rem)
+            ops.append((take, cur_off))
+            rem -= take
+            cur_off *= 2
+        if rem > 0:
+            ops.append((rem, cur_off))
+
+    lit = np.empty(sum(ln for _, ln in lit_parts), np.uint8)
+    w = 0
+    src = np.frombuffer(stream, np.uint8)
+    for start, ln in lit_parts:
+        lit[w:w + ln] = src[start:start + ln]
+        w += ln
+    return OpTable(
+        ops=np.asarray(ops, np.int32).reshape(-1, 2),
+        lit=lit,
+        out_len=out_len,
+    )
+
+
+@dataclass
+class PackedTables:
+    """Fixed-shape arrays for a set of streams (kernel inputs)."""
+
+    ops: np.ndarray  # (C, N_max, 2) int32, zero-padded
+    n_ops: np.ndarray  # (C,) int32
+    lit: np.ndarray  # (C, L_max) uint8, zero-padded
+    n_lit: np.ndarray  # (C,) int32
+    out_len: np.ndarray  # (C,) int32
+    ok: np.ndarray  # (C,) bool — host verdict; failed rows have 0 ops
+
+
+def pack_tables(streams: Sequence[bytes],
+                expected_lens: Optional[Sequence[int]] = None
+                ) -> PackedTables:
+    tables = []
+    for i, s in enumerate(streams):
+        exp = None if expected_lens is None else int(expected_lens[i])
+        tables.append(build_op_table(s, exp))
+    C = len(streams)
+    n_max = max([t.ops.shape[0] for t in tables if t is not None] + [1])
+    l_max = max([t.lit.shape[0] for t in tables if t is not None] + [1])
+    ops = np.zeros((C, n_max, 2), np.int32)
+    lit = np.zeros((C, l_max), np.uint8)
+    n_ops = np.zeros(C, np.int32)
+    n_lit = np.zeros(C, np.int32)
+    out_len = np.zeros(C, np.int32)
+    ok = np.zeros(C, bool)
+    for i, t in enumerate(tables):
+        if t is None:
+            continue
+        ok[i] = True
+        n_ops[i] = t.ops.shape[0]
+        ops[i, : t.ops.shape[0]] = t.ops
+        n_lit[i] = t.lit.shape[0]
+        lit[i, : t.lit.shape[0]] = t.lit
+        out_len[i] = t.out_len
+    return PackedTables(ops=ops, n_ops=n_ops, lit=lit, n_lit=n_lit,
+                        out_len=out_len, ok=ok)
+
+
+def execute_table_host(t: OpTable) -> bytes:
+    """Scalar reference executor (the oracle for the Pallas kernel)."""
+    out = np.zeros(t.out_len, np.uint8)
+    op = 0
+    lc = 0
+    for m, off in t.ops:
+        m, off = int(m), int(off)
+        if off == 0:
+            out[op:op + m] = t.lit[lc:lc + m]
+            lc += m
+        else:
+            # off >= min(m, 128): pieces of <= off bytes never read bytes
+            # they write (sequential-copy semantics, matching the kernel's
+            # <= 128-byte pieces)
+            assert off >= min(m, 128) and off <= op, (m, off, op)
+            done = 0
+            while done < m:
+                k = min(off, m - done)
+                dst = op + done
+                out[dst:dst + k] = out[dst - off:dst - off + k]
+                done += k
+        op += m
+    assert op == t.out_len
+    return out.tobytes()

@@ -130,13 +130,85 @@ def _default_impl() -> str:
     return os.environ.get("HAP_TPU_SNAPPY_GENERAL_IMPL", "hybrid")
 
 
-@functools.partial(jax.jit, static_argnames=("S_max", "impl"))
+def _parse_element(win, cursor, op, clen, ulen):
+    """Decode the Snappy element at lane 0 of ``win`` (shared by all kernel
+    variants — one body for tag decode + bounds validation so a format fix
+    cannot silently diverge between them).
+
+    Returns a dict of the parsed fields: is_lit, lit_hdr, lit_len, cp_len,
+    cp_off, cp_hdr, elen, ehdr, in_need, fresh_ok.
+    """
+    tag = win[0, 0]
+    b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
+    ttype = tag & 3
+    len6 = tag >> 2
+    is_lit = ttype == 0
+
+    lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
+    ext = (
+        b1
+        + jnp.where(len6 >= 61, b2 << 8, 0)
+        + jnp.where(len6 >= 62, b3 << 16, 0)
+        + jnp.where(len6 >= 63, b4 << 24, 0)
+    )  # may wrap negative for absurd lengths -> rejected below
+    lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
+
+    cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
+    cp_off = jnp.where(
+        ttype == 1,
+        ((tag >> 5) << 8) | b1,
+        jnp.where(
+            ttype == 2,
+            b1 | (b2 << 8),
+            b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
+        ),
+    )
+    cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+
+    elen = jnp.where(is_lit, lit_len, cp_len)
+    ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+    in_need = ehdr + jnp.where(is_lit, lit_len, 0)
+    fresh_ok = (
+        (elen >= 1)
+        & (in_need >= 1)
+        & (cursor + in_need <= clen)
+        & (op + elen <= ulen)
+        & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
+    )
+    return dict(
+        is_lit=is_lit, lit_hdr=lit_hdr, lit_len=lit_len, cp_len=cp_len,
+        cp_off=cp_off, cp_hdr=cp_hdr, elen=elen, ehdr=ehdr,
+        in_need=in_need, fresh_ok=fresh_ok,
+    )
+
+
 def decode_any_streams(
+    comp: jnp.ndarray,
+    comp_len: jnp.ndarray,
+    out_len: jnp.ndarray,
+    S_max: int,
+    impl: str | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve the kernel variant, then dispatch to the jitted inner fn.
+
+    The env default (HAP_TPU_SNAPPY_GENERAL_IMPL, values: "hybrid" |
+    "interleaved" | "branch" | "serial") is resolved HERE, outside jit, so
+    the impl string is always part of the jit cache key — changing the env
+    var mid-process takes effect for every later call instead of being
+    silently baked into already-traced shapes.
+    """
+    if impl is None:
+        impl = _default_impl()
+    return _decode_any_streams(comp, comp_len, out_len, S_max, impl)
+
+
+@functools.partial(jax.jit, static_argnames=("S_max", "impl"))
+def _decode_any_streams(
     comp: jnp.ndarray,  # (C, B) uint8 — one Snappy stream per row
     comp_len: jnp.ndarray,  # (C,) int32 — true stream lengths
     out_len: jnp.ndarray,  # (C,) int32 — expected uncompressed lengths
     S_max: int,  # static bound: every out_len <= S_max
-    impl: str | None = None,
+    impl: str = "hybrid",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode C arbitrary conforming Snappy streams -> ((C, S_max) u8, ok).
 
@@ -145,7 +217,6 @@ def decode_any_streams(
     or preamble != out_len[c]); its output row is then undefined but every
     access stays in-bounds.
 
-    impl=None resolves via HAP_TPU_SNAPPY_GENERAL_IMPL (default "hybrid").
     "interleaved" walks all chunks of a grid step as independent
     interleaved chains inside ONE while_loop — each chain's element walk is
     a serial dependency, so issuing tc chains per iteration hides the chain
@@ -165,10 +236,6 @@ def decode_any_streams(
     sum-of-group-maxima is minimized by contiguous groups in sorted order.
     Outputs are unsorted back before returning.
     """
-    if impl is None:
-        # Env-selectable default (trace-time; first call per shape wins the
-        # jit cache entry): HAP_TPU_SNAPPY_GENERAL_IMPL=interleaved|branch|serial
-        impl = _default_impl()
     C0, B = comp.shape
     nin = -(-B // 128) + 3
     nout = -(-S_max // 128) + 2
@@ -220,43 +287,10 @@ def decode_any_streams(
         def chain_step(j, cursor, op, lit_rem, okc, active):
             win = _read_window(comp_ref, j, cursor, nin)
             fresh = lit_rem == 0
-            tag = win[0, 0]
-            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
-            ttype = tag & 3
-            len6 = tag >> 2
-            is_lit = ttype == 0
-
-            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
-            ext = (
-                b1
-                + jnp.where(len6 >= 61, b2 << 8, 0)
-                + jnp.where(len6 >= 62, b3 << 16, 0)
-                + jnp.where(len6 >= 63, b4 << 24, 0)
-            )  # may wrap negative for absurd lengths -> rejected below
-            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
-
-            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
-            cp_off = jnp.where(
-                ttype == 1,
-                ((tag >> 5) << 8) | b1,
-                jnp.where(
-                    ttype == 2,
-                    b1 | (b2 << 8),
-                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
-                ),
-            )
-            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
-
-            elen = jnp.where(is_lit, lit_len, cp_len)
-            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
-            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
-            fresh_ok = (
-                (elen >= 1)
-                & (in_need >= 1)
-                & (cursor + in_need <= clens[j])
-                & (op + elen <= ulens[j])
-                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
-            )
+            e = _parse_element(win, cursor, op, clens[j], ulens[j])
+            is_lit, lit_hdr, cp_len, cp_off, cp_hdr = (
+                e["is_lit"], e["lit_hdr"], e["cp_len"], e["cp_off"], e["cp_hdr"])
+            lit_len, fresh_ok = e["lit_len"], e["fresh_ok"]
             # Inactive chains still execute (masked); their ok must freeze,
             # or the garbage tag at cursor==clen would clobber it.
             oke = okc & jnp.where(fresh & active, fresh_ok, True)
@@ -366,43 +400,10 @@ def decode_any_streams(
         def chain_step(j, cursor, op, lit_rem, okc, active):
             win = _read_window(comp_ref, j, cursor, nin)
             fresh = lit_rem == 0
-            tag = win[0, 0]
-            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
-            ttype = tag & 3
-            len6 = tag >> 2
-            is_lit = ttype == 0
-
-            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
-            ext = (
-                b1
-                + jnp.where(len6 >= 61, b2 << 8, 0)
-                + jnp.where(len6 >= 62, b3 << 16, 0)
-                + jnp.where(len6 >= 63, b4 << 24, 0)
-            )  # may wrap negative for absurd lengths -> rejected below
-            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
-
-            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
-            cp_off = jnp.where(
-                ttype == 1,
-                ((tag >> 5) << 8) | b1,
-                jnp.where(
-                    ttype == 2,
-                    b1 | (b2 << 8),
-                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
-                ),
-            )
-            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
-
-            elen = jnp.where(is_lit, lit_len, cp_len)
-            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
-            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
-            fresh_ok = (
-                (elen >= 1)
-                & (in_need >= 1)
-                & (cursor + in_need <= clens[j])
-                & (op + elen <= ulens[j])
-                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
-            )
+            e = _parse_element(win, cursor, op, clens[j], ulens[j])
+            is_lit, lit_hdr, cp_len, cp_off, cp_hdr = (
+                e["is_lit"], e["lit_hdr"], e["cp_len"], e["cp_off"], e["cp_hdr"])
+            lit_len, fresh_ok = e["lit_len"], e["fresh_ok"]
             oke = okc & jnp.where(fresh & active, fresh_ok, True)
             go = oke & active
 
@@ -512,43 +513,10 @@ def decode_any_streams(
         def chain_step(j, cursor, op, lit_rem, okc, active):
             win = _read_window(comp_ref, j, cursor, nin)
             fresh = lit_rem == 0
-            tag = win[0, 0]
-            b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
-            ttype = tag & 3
-            len6 = tag >> 2
-            is_lit = ttype == 0
-
-            lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
-            ext = (
-                b1
-                + jnp.where(len6 >= 61, b2 << 8, 0)
-                + jnp.where(len6 >= 62, b3 << 16, 0)
-                + jnp.where(len6 >= 63, b4 << 24, 0)
-            )  # may wrap negative for absurd lengths -> rejected below
-            lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
-
-            cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
-            cp_off = jnp.where(
-                ttype == 1,
-                ((tag >> 5) << 8) | b1,
-                jnp.where(
-                    ttype == 2,
-                    b1 | (b2 << 8),
-                    b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
-                ),
-            )
-            cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
-
-            elen = jnp.where(is_lit, lit_len, cp_len)
-            ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
-            in_need = ehdr + jnp.where(is_lit, lit_len, 0)
-            fresh_ok = (
-                (elen >= 1)
-                & (in_need >= 1)
-                & (cursor + in_need <= clens[j])
-                & (op + elen <= ulens[j])
-                & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
-            )
+            e = _parse_element(win, cursor, op, clens[j], ulens[j])
+            is_lit, lit_hdr, cp_len, cp_off, cp_hdr = (
+                e["is_lit"], e["lit_hdr"], e["cp_len"], e["cp_off"], e["cp_hdr"])
+            lit_len, fresh_ok = e["lit_len"], e["fresh_ok"]
             oke = okc & jnp.where(fresh & active, fresh_ok, True)
             go = oke & active
 
@@ -644,44 +612,11 @@ def decode_any_streams(
             def body(carry):
                 cursor, op, okc = carry
                 win = _read_window(comp_ref, c, cursor, nin)
-                tag = win[0, 0]
-                b1, b2, b3, b4 = win[0, 1], win[0, 2], win[0, 3], win[0, 4]
-                ttype = tag & 3
-                len6 = tag >> 2
-                is_lit = ttype == 0
-
-                lit_hdr = jnp.where(len6 < 60, 1, len6 - 58)
-                ext = (
-                    b1
-                    + jnp.where(len6 >= 61, b2 << 8, 0)
-                    + jnp.where(len6 >= 62, b3 << 16, 0)
-                    + jnp.where(len6 >= 63, b4 << 24, 0)
-                )  # may wrap negative for absurd lengths -> rejected below
-                lit_len = jnp.where(len6 < 60, len6 + 1, ext + 1)
-
-                cp_len = jnp.where(ttype == 1, 4 + (len6 & 7), (len6 & 63) + 1)
-                cp_off = jnp.where(
-                    ttype == 1,
-                    ((tag >> 5) << 8) | b1,
-                    jnp.where(
-                        ttype == 2,
-                        b1 | (b2 << 8),
-                        b1 | (b2 << 8) | (b3 << 16) | (b4 << 24),
-                    ),
-                )
-                cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
-
-                elen = jnp.where(is_lit, lit_len, cp_len)
-                ehdr = jnp.where(is_lit, lit_hdr, cp_hdr)
-                in_need = ehdr + jnp.where(is_lit, lit_len, 0)
-                oke = (
-                    okc
-                    & (elen >= 1)
-                    & (in_need >= 1)
-                    & (cursor + in_need <= clen)
-                    & (op + elen <= ulen)
-                    & (is_lit | ((cp_off >= 1) & (cp_off <= op)))
-                )
+                e = _parse_element(win, cursor, op, clen, ulen)
+                is_lit, lit_hdr, cp_len, cp_off = (
+                    e["is_lit"], e["lit_hdr"], e["cp_len"], e["cp_off"])
+                lit_len, elen, in_need = e["lit_len"], e["elen"], e["in_need"]
+                oke = okc & e["fresh_ok"]
 
                 # Literal: stream bytes -> output, 128-byte pieces.
                 lit_n = jnp.where(oke & is_lit, lit_len, 0)

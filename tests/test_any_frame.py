@@ -38,18 +38,19 @@ def _image(rng, h, w, c):
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
+@pytest.mark.parametrize("route", ["table", "kernel"])
 @pytest.mark.parametrize(
     "codec,ch", [("hap", 3), ("hap_alpha", 4), ("hap_q", 3),
                  ("hap_alpha_only", 1), ("hap_q_alpha", 4), ("hap_r", 4)]
 )
-def test_matches_host_decode(rng, codec, ch):
+def test_matches_host_decode(rng, codec, ch, route):
     h, w = 48, 64
     img = _image(rng, h, w, ch)
     if ch == 1:
         img = img[..., 0]
     frame = encode_frame(img, codec, chunk_count=4)
     want = decode_frame(frame, h, w)
-    got, ok = decode_frame_any(frame, h, w)
+    got, ok = decode_frame_any(frame, h, w, snappy=route)
     assert ok
     np.testing.assert_array_equal(got, want)
 
@@ -63,7 +64,8 @@ def test_odd_dimensions(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_offset_table_shuffled_storage(rng):
+@pytest.mark.parametrize("route", ["table", "kernel"])
+def test_offset_table_shuffled_storage(rng, route):
     """Foreign layout: explicit offset table, chunks stored in reverse order."""
     from tests.test_container import _build_complex_frame_with_offsets
 
@@ -82,12 +84,13 @@ def test_offset_table_shuffled_storage(rng):
     frame = _build_complex_frame_with_offsets(chunks, fmt_id=0xB, shuffle=True,
                                               extra_section=True)
     want = decode_frame(frame, h, w)
-    got, ok = decode_frame_any(frame, h, w)
+    got, ok = decode_frame_any(frame, h, w, snappy=route)
     assert ok
     np.testing.assert_array_equal(got, want)
 
 
-def test_mixed_raw_and_snappy_chunks(rng):
+@pytest.mark.parametrize("route", ["table", "kernel"])
+def test_mixed_raw_and_snappy_chunks(rng, route):
     from tests.test_container import _build_complex_frame_with_offsets
     from hap_tpu.pipeline.codecs import _decode_texture_python
 
@@ -103,12 +106,13 @@ def test_mixed_raw_and_snappy_chunks(rng):
     ]
     frame = _build_complex_frame_with_offsets(chunks, fmt_id=0xB)
     want = decode_frame(frame, h, w)
-    got, ok = decode_frame_any(frame, h, w)
+    got, ok = decode_frame_any(frame, h, w, snappy=route)
     assert ok
     np.testing.assert_array_equal(got, want)
 
 
-def test_corrupt_stream_flags_not_ok(rng):
+@pytest.mark.parametrize("route", ["table", "kernel"])
+def test_corrupt_stream_flags_not_ok(rng, route):
     h, w = 32, 32
     img = _image(rng, h, w, 3)
     frame = bytearray(encode_frame(img, "hap", chunk_count=2))
@@ -131,5 +135,5 @@ def test_corrupt_stream_flags_not_ok(rng):
     while frame[off + vlen - 1] >= 128:
         vlen += 1
     frame[off + vlen] = 0x02 | (3 << 2)
-    _, ok = decode_frame_any(bytes(frame), h, w)
+    _, ok = decode_frame_any(bytes(frame), h, w, snappy=route)
     assert not ok

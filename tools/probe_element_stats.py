@@ -29,6 +29,8 @@ def element_stats(stream: bytes):
     op = 0
     st = dict(lit=0, lit_bytes=0, lit_iters=0, cp=0, cp_bytes=0,
               overlap=0, off1=0, off_ge_len=0, elems=0)
+    offs = []
+    lens = []
     while pos < n:
         tag = view[pos]
         pos += 1
@@ -60,6 +62,8 @@ def element_stats(stream: bytes):
             op += length
             st["cp"] += 1
             st["cp_bytes"] += length
+            offs.append(off)
+            lens.append(length)
             if off < length:
                 st["overlap"] += 1
             if off == 1:
@@ -68,6 +72,8 @@ def element_stats(stream: bytes):
                 st["off_ge_len"] += 1
         st["elems"] += 1
     assert op == out_len
+    st["offs"] = offs
+    st["lens"] = lens
     return st
 
 
@@ -94,6 +100,8 @@ def main():
         frame_np = np.frombuffer(frame, np.uint8)
         tot = dict(lit=0, lit_bytes=0, lit_iters=0, cp=0, cp_bytes=0,
                    overlap=0, off1=0, off_ge_len=0, elems=0)
+        all_offs = []
+        all_lens = []
         nsnappy = 0
         max_chain = 0
         for i in range(tex.chunk_count):
@@ -103,6 +111,8 @@ def main():
             off = tex.chunk_compressed_offsets[i]
             sz = tex.chunk_compressed_sizes[i]
             st = element_stats(frame_np[off:off + sz].tobytes())
+            all_offs.extend(st.pop("offs"))
+            all_lens.extend(st.pop("lens"))
             iters = st["lit_iters"] + st["cp"]
             max_chain = max(max_chain, iters)
             for k in tot:
@@ -115,6 +125,20 @@ def main():
               f"copies: overlap {tot['overlap']} "
               f"({100*tot['overlap']/max(tot['cp'],1):.1f}%), off1 {tot['off1']}, "
               f"off>=len {tot['off_ge_len']}")
+        if all_offs:
+            o = np.asarray(all_offs)
+            ln = np.asarray(all_lens)
+            pct = [50, 90, 99]
+            print(f"  copy off percentiles {dict(zip(pct, np.percentile(o, pct).astype(int).tolist()))}, "
+                  f"len percentiles {dict(zip(pct, np.percentile(ln, pct).astype(int).tolist()))}")
+            for thr in (64, 128, 256, 384, 512, 1024):
+                print(f"    off<={thr}: {100*np.mean(o <= thr):.1f}%", end="")
+            print()
+            print(f"    off mod 4 == 0: {100*np.mean(o % 4 == 0):.1f}%  "
+                  f"mod 8: {100*np.mean(o % 8 == 0):.1f}%  "
+                  f"len mod 4: {100*np.mean(ln % 4 == 0):.1f}%  "
+                  f"elem avg out bytes "
+                  f"{(tot['lit_bytes']+tot['cp_bytes'])/max(tot['elems'],1):.1f}")
 
 
 if __name__ == "__main__":

@@ -115,9 +115,150 @@ def make_kernel(variant):
     return kernel
 
 
+def make_exec_kernel(variant):
+    """Simulate the parse/execute-split executor's inner loop.
+
+    Per chain the output tail lives in a value-carried (1, 640) register
+    window A (lanes [0, pa) valid); each iteration merges m<=128 bytes at
+    lane pa via one dynamic placement roll + select, and when pa crosses
+    512 flushes ONE aligned 128-lane block to out_ref (no read-modify-
+    write) and shifts A left statically.  Variants:
+
+      regmerge — near source: roll A (register history) for the copy source
+      regfar   — + PREDICATED out_ref 3-block window read (~1/3 of iters,
+                 the far-src fraction measured by probe_merge_stats)
+    """
+    def kernel(comp_ref, out_ref, ok_ref, vtmp_ref):
+        lane640 = jax.lax.broadcasted_iota(_I32, (1, 640), 1)
+
+        def body(carry):
+            i = carry[0]
+            acc = []
+            for j in range(TC):
+                cur, pa, A = carry[1 + 3 * j], carry[2 + 3 * j], carry[3 + 3 * j]
+                # simulated op params (scalar arithmetic stand-in for SMEM)
+                m = (cur & 63) + 40
+                off = (cur & 255) + 1
+                far = (cur % 3) == 0
+                # near source: dynamic roll of the register window
+                srcv = pltpu.roll(A, 640 - (pa - off) % 640, 1)
+                if variant == "regfar":
+                    @pl.when(far)
+                    def _():
+                        w = _read_window(
+                            out_ref, j, jnp.maximum(cur % (NOUT * 100) - 700, 0),
+                            NOUT)
+                        vtmp_ref[j, :] = w[0, :128]
+                    srcv = jnp.where(
+                        far,
+                        jnp.pad(vtmp_ref[j, :].reshape(1, 128), ((0, 0), (0, 512))),
+                        srcv,
+                    )
+                # merge at pa: one placement roll + masked select
+                placed = pltpu.roll(srcv, pa, 1)
+                A = jnp.where((lane640 >= pa) & (lane640 < pa + m), placed, A)
+                pa2 = pa + m
+                flush = pa2 >= 512
+
+                @pl.when(flush)
+                def _():
+                    out_ref[j, (cur // 128) % NOUT, :] = A[0, 384:512]
+
+                A = jnp.where(
+                    flush,
+                    jnp.concatenate(
+                        [A[:, 128:], jnp.zeros((1, 128), _I32)], axis=1),
+                    A,
+                )
+                pa2 = jnp.where(flush, pa2 - 128, pa2)
+                acc.extend([cur + m, pa2, A])
+            return tuple([i + 1] + acc)
+
+        carry = [jnp.int32(0)]
+        for j in range(TC):
+            carry.extend(
+                [jnp.int32(j), jnp.int32(384 + j), jnp.zeros((1, 640), _I32)])
+        carry = jax.lax.while_loop(lambda c: c[0] < ITERS, body, tuple(carry))
+        for j in range(TC):
+            ok_ref[j, 0] = carry[1 + 3 * j] + carry[2 + 3 * j]
+
+    return kernel
+
+
+def make_block_kernel(variant):
+    """Simulate a block-centric executor chain-step.
+
+    Per chain and iteration: assemble ONE 128-lane output block from up to
+    P ops — each op = 2 dynamic-row source loads + ONE combined dynamic
+    roll (source phase -> dst lane) + masked select into the block value —
+    then ONE aligned store.  No read-modify-write of out_ref, no doubling
+    in the common path.  Variants: blockstep (P=4), blockstep2 (P=2),
+    blockstep_f (P=4 under fori_loop).
+    """
+    P = 2 if variant == "blockstep2" else 4
+    use_fori = variant == "blockstep_f"
+
+    def kernel(comp_ref, out_ref, ok_ref, vtmp_ref):
+        lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
+
+        def step(carry_list):
+            i = carry_list[0]
+            acc = [i + 1]
+            for j in range(TC):
+                base = 1 + j * 4
+                cur, pa, V, prevV = carry_list[base:base + 4]
+                for p in range(P):
+                    # simulated op params (stand-in for SMEM table reads)
+                    src = (cur * 7 + p * 131) % (NIN * 128 - 256)
+                    m = jnp.minimum((cur & 63) + 24, 128 - pa)
+                    row = src // 128
+                    s128 = jnp.concatenate([
+                        comp_ref[j, row, :].reshape(1, 128),
+                        comp_ref[j, row + 1, :].reshape(1, 128),
+                    ], axis=1)
+                    # ONE combined roll: source phase src%128 -> lane pa
+                    sh = (pa - src) % 256
+                    placed = pltpu.roll(s128, sh, 1)[:, :128]
+                    V = jnp.where((lane128 >= pa) & (lane128 < pa + m),
+                                  placed, V)
+                    pa = pa + m
+                full = pa >= 128
+
+                @pl.when(full)
+                def _():
+                    out_ref[j, (cur // 128) % NOUT, :] = V[0]
+
+                prevV = jnp.where(full, V, prevV)
+                V = jnp.where(full, jnp.zeros((1, 128), _I32), V)
+                pa = jnp.where(full, 0, pa)
+                acc.extend([cur + 128, pa, V, prevV])
+            return acc
+
+        carry = [jnp.int32(0)]
+        for j in range(TC):
+            carry.extend([jnp.int32(j), jnp.int32(0),
+                          jnp.zeros((1, 128), _I32),
+                          jnp.zeros((1, 128), _I32)])
+        if use_fori:
+            carry = jax.lax.fori_loop(
+                0, ITERS, lambda k, c: tuple(step(list(c))), tuple(carry))
+        else:
+            carry = jax.lax.while_loop(
+                lambda c: c[0] < ITERS, lambda c: tuple(step(list(c))),
+                tuple(carry))
+        for j in range(TC):
+            ok_ref[j, 0] = carry[1 + j * 4] + carry[2 + j * 4]
+
+    return kernel
+
+
 def run(variant, comp, dev):
+    exec_variant = variant in ("regmerge", "regfar")
+    block_variant = variant.startswith("blockstep")
     f = pl.pallas_call(
-        make_kernel(variant),
+        make_block_kernel(variant) if block_variant
+        else make_exec_kernel(variant) if exec_variant
+        else make_kernel(variant),
         grid=(1,),
         in_specs=[pl.BlockSpec((TC, NIN, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -130,6 +271,10 @@ def run(variant, comp, dev):
             jax.ShapeDtypeStruct((TC, NOUT, 128), _I32),
             jax.ShapeDtypeStruct((TC, 1), _I32),
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((TC, 128), _I32)]
+            if (exec_variant or block_variant) else []),
+        interpret=os.environ.get("PROBE_INTERPRET", "") == "1",
     )
     g = jax.jit(f)
     out, ok = g(comp)
