@@ -89,6 +89,39 @@ def _locate_sections(data) -> tuple:
     return True, sections
 
 
+def _walk_child_at_index(data, index: int):
+    """Decode-side child walk, EXACTLY hap_get_section_at_index
+    (hap.c:932-991): children are read with the PARENT section length as
+    the bound, and the walk stops at the requested index — later siblings
+    are never validated (a frame whose second child is garbage still
+    decodes texture 0, matching the real decoder; found by
+    tests/test_oracle_fuzz.py). Contrast HapGetFrameTextureCount
+    (hap.c:1061-1076), which walks ALL children bounded by the INPUT
+    BUFFER — see _locate_sections.
+
+    Returns (body_offset_absolute, child_len, child_type).
+    """
+    hdr_len, sec_len, sec_type = read_section_header(data, 0)
+    if sec_type != SECTION_MULTIPLE_IMAGES:
+        if index != 0:
+            raise HapError(HapResult.BAD_ARGUMENTS,
+                           "single-texture frame, index != 0")
+        return hdr_len, sec_len, sec_type
+    view = memoryview(data)
+    base = hdr_len
+    top_len = sec_len
+    offset = 0
+    child_hdr = child_len = 0
+    child_type = 0
+    for _ in range(index + 1):
+        offset += child_hdr + child_len
+        if offset >= top_len:
+            raise HapError(HapResult.BAD_ARGUMENTS, "texture index out of range")
+        child_hdr, child_len, child_type = read_section_header(
+            view[base + offset: base + top_len], 0)
+    return base + offset + child_hdr, child_len, child_type
+
+
 def _parse_decode_instructions(data, body_offset: int, body_length: int):
     """Walk a Complex section: Decode Instructions Container + frame data.
 
@@ -98,7 +131,11 @@ def _parse_decode_instructions(data, body_offset: int, body_length: int):
     skipped, all tables must agree on the chunk count, and the compressor and
     size tables are required.
     """
-    dic_hdr, dic_len, dic_type = read_section_header(data, body_offset)
+    # The DIC header read is bounded by the TEXTURE SECTION length, not the
+    # buffer (hap.c:657 passes texture_section_length) — parity pinned by
+    # tests/test_oracle_fuzz.py.
+    view0 = memoryview(data)[body_offset: body_offset + body_length]
+    dic_hdr, dic_len, dic_type = read_section_header(view0, 0)
     if dic_type != SECTION_DECODE_INSTRUCTIONS:
         raise HapError(HapResult.BAD_FRAME, "expected Decode Instructions Container")
     frame_data_offset = body_offset + dic_hdr + dic_len
@@ -154,6 +191,14 @@ def _plan_texture(data, body_offset: int, body_length: int, section_type: int) -
                                np.zeros(0, np.uint8), z, z, z, z, 0)
         comps = np.ascontiguousarray(comps[:chunk_count])
         sizes = np.ascontiguousarray(sizes[:chunk_count])
+        # Unknown chunk compressor byte -> Bad_Frame (hap_decode_chunk's
+        # default branch, hap.c:637-640; first failing chunk fails the
+        # decode). Parity found by tests/test_oracle_fuzz.py: treating it
+        # as raw silently accepted frames hap.c rejects.
+        bad = (comps != CHUNK_COMPRESSOR_SNAPPY) & (comps != 0x0A)
+        if bad.any():
+            raise HapError(HapResult.BAD_FRAME,
+                           f"unknown chunk compressor {comps[bad][0]:#x}")
         if offs is not None:
             comp_offsets = frame_data_offset + np.ascontiguousarray(offs[:chunk_count])
         else:
@@ -163,13 +208,20 @@ def _plan_texture(data, body_offset: int, body_length: int, section_type: int) -
             ).astype(np.int64)
         # Per-chunk decoded size: snappy preamble varint, or the stored size
         # for raw chunks (hap.c:811-834).
+        # Chunk data is bounded by the INPUT BUFFER, not the section
+        # length: the reference reads chunk bytes past the section end
+        # unchecked (it has NO input-extent validation at all and
+        # SEGFAULTS when the size table points past the buffer,
+        # hap.c:800-838 — tests/test_oracle_fuzz.py). We accept everything
+        # it successfully decodes and reject with Bad_Frame exactly where
+        # it would read out of bounds.
         un_sizes = np.empty(chunk_count, dtype=np.int64)
         for i in range(chunk_count):
+            start = int(comp_offsets[i])
+            end = start + int(sizes[i])
+            if end > len(view) or start < 0:
+                raise HapError(HapResult.BAD_FRAME, "chunk extends beyond buffer")
             if comps[i] == CHUNK_COMPRESSOR_SNAPPY:
-                start = int(comp_offsets[i])
-                end = start + int(sizes[i])
-                if end > len(view) or start < 0:
-                    raise HapError(HapResult.BAD_FRAME, "chunk extends beyond buffer")
                 un_sizes[i], _ = read_varint(view[start:end], 0)
             else:
                 un_sizes[i] = sizes[i]
@@ -223,12 +275,19 @@ def frame_texture_count(data) -> int:
 def _section_at_index(data, index: int):
     if index > 1:
         raise HapError(HapResult.BAD_ARGUMENTS, "texture index > 1")
-    is_multi, sections = _locate_sections(data)
-    if not is_multi and index != 0:
-        raise HapError(HapResult.BAD_ARGUMENTS, "single-texture frame, index != 0")
-    if index >= len(sections):
-        raise HapError(HapResult.BAD_ARGUMENTS, "texture index out of range")
-    return sections[index]
+    return _walk_child_at_index(data, index)
+
+
+def plan_texture_at(data, index: int) -> TexturePlan:
+    """Index-targeted decode plan with EXACT reference acceptance
+    semantics (the lazy child walk + buffer-bounded chunk data). This is
+    the surface hap_decode parity is measured on; parse_frame (below)
+    plans every texture and is deliberately stricter for multi-texture
+    frames (all textures must be decodable)."""
+    if index > 1:
+        raise HapError(HapResult.BAD_ARGUMENTS, "texture index > 1")
+    off, length, stype = _walk_child_at_index(data, index)
+    return _plan_texture(data, off, length, stype)
 
 
 def frame_texture_format(data, index: int = 0) -> TextureFormat:

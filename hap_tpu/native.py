@@ -85,6 +85,12 @@ def load() -> ctypes.CDLL:
             fn.restype = ctypes.c_int
             fn.argtypes = [_U8P, _ULP, _ULP, _U8P, _ULP, _ULP,
                            ctypes.c_uint, ctypes.c_int]
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        lib.hapn_snappy_optable_batch.restype = ctypes.c_int
+        lib.hapn_snappy_optable_batch.argtypes = [
+            _U8P, _ULP, _ULP, _ULP, _I32P, ctypes.c_ulong, _U8P,
+            ctypes.c_ulong, _I32P, _I32P, _I32P, _I32P,
+            ctypes.c_uint, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -134,6 +140,65 @@ def snappy_uncompress(data, expected_length: Optional[int] = None) -> bytes:
                                       dst.size, ctypes.byref(got)),
            "snappy_uncompress")
     return dst[: got.value].tobytes()
+
+
+def snappy_optable_batch(streams: Sequence[bytes],
+                         expected_lens: Sequence[int],
+                         n_threads: int = 0):
+    """Compile Snappy streams into executor op tables (multithreaded C++).
+
+    Mirrors hap_tpu/snappy/optable.pack_tables semantics (differentially
+    tested). Empty streams (raw chunks) come back ok=False with 0 ops.
+    Returns (ops (C, N_max, 2) i32, n_ops (C,) i32, lit (C, L_max) u8,
+    n_lit (C,) i32, out_len (C,) i32, ok (C,) bool).
+    """
+    lib = load()
+    C = len(streams)
+    sizes = np.asarray([len(s) for s in streams], np.uint64)
+    offs = np.zeros(C, np.uint64)
+    if C > 1:
+        np.cumsum(sizes[:-1], out=offs[1:])
+    flat = np.empty(int(sizes.sum()), np.uint8)
+    for i, s in enumerate(streams):
+        flat[int(offs[i]): int(offs[i]) + len(s)] = np.frombuffer(s, np.uint8)
+    if flat.size == 0:
+        flat = np.zeros(1, np.uint8)
+    exp = np.asarray(expected_lens, np.uint64)
+    # pieces <= elements + out_len/128 per stream (block splitting)
+    ops_cap = max(
+        2048,
+        int(sizes.max(initial=0)) // 8 + int(exp.max(initial=0)) // 128)
+    lit_cap = max(128, int(sizes.max(initial=0)))
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    while True:
+        ops = np.zeros((C, ops_cap, 2), np.int32)
+        lit = np.zeros((C, lit_cap), np.uint8)
+        n_ops = np.zeros(C, np.int32)
+        n_lit = np.zeros(C, np.int32)
+        out_len = np.zeros(C, np.int32)
+        status = np.zeros(C, np.int32)
+        r = lib.hapn_snappy_optable_batch(
+            _as_u8p(flat),
+            offs.ctypes.data_as(_ULP),
+            sizes.ctypes.data_as(_ULP),
+            exp.ctypes.data_as(_ULP),
+            ops.ctypes.data_as(_I32P), ops_cap,
+            _as_u8p(lit), lit_cap,
+            n_ops.ctypes.data_as(_I32P),
+            n_lit.ctypes.data_as(_I32P),
+            out_len.ctypes.data_as(_I32P),
+            status.ctypes.data_as(_I32P),
+            C, n_threads)
+        _check(r, "snappy_optable_batch")
+        if (status == 2).any():  # BUFFER_TOO_SMALL: retry with needed sizes
+            ops_cap = max(ops_cap, int(n_ops.max()))
+            lit_cap = max(lit_cap, int(n_lit.max()))
+            continue
+        ok = status == 0
+        n_max = max(int(n_ops.max(initial=1)), 1)
+        l_max = max(int(n_lit.max(initial=1)), 1)
+        return (np.ascontiguousarray(ops[:, :n_max]), n_ops,
+                np.ascontiguousarray(lit[:, :l_max]), n_lit, out_len, ok)
 
 
 # ---------------------------------------------------------------------------
@@ -196,12 +261,11 @@ def decode(
     if output_size_hint is None:
         # One extra parse to size the output exactly (a real player would use
         # frame dimensions; introspection keeps this API self-contained).
-        from hap_tpu.container.parse import parse_frame
+        # Index-targeted plan: acceptance must match HapDecode's lazy child
+        # walk, not the stricter whole-frame planner (test_oracle_fuzz.py).
+        from hap_tpu.container.parse import plan_texture_at
 
-        plan = parse_frame(bytes(buf))
-        if index >= len(plan.textures):
-            raise HapError(HapResult.BAD_ARGUMENTS, "texture index out of range")
-        output_size_hint = plan.textures[index].decoded_bytes
+        output_size_hint = plan_texture_at(bytes(buf), index).decoded_bytes
     out = np.empty(max(output_size_hint, 1), dtype=np.uint8)
     used = ctypes.c_ulong()
     fmt = ctypes.c_uint()

@@ -676,8 +676,15 @@ static int parse_decode_instructions(const uint8_t* section, uint32_t sec_len,
   return HAPN_OK;
 }
 
+// buf_end = end of the WHOLE input frame buffer: chunk data is bounded by
+// the input buffer, not the section length — the reference reads past the
+// section end unchecked (and has no input bound at all: it segfaults when
+// the size table points past the buffer, hap.c:800-838; see
+// tests/test_oracle_fuzz.py). We accept everything it successfully
+// decodes and return Bad_Frame exactly where it would read out of bounds.
 static int decode_single_texture(const uint8_t* section, uint32_t sec_len,
-                                 uint32_t sec_type, uint8_t* out,
+                                 uint32_t sec_type, const uint8_t* buf_end,
+                                 uint8_t* out,
                                  size_t out_cap, size_t* out_used,
                                  uint32_t* out_format, int n_threads) {
   uint32_t compressor = (sec_type & 0xF0) >> 4;
@@ -697,7 +704,7 @@ static int decode_single_texture(const uint8_t* section, uint32_t sec_len,
       std::vector<size_t> src_size(chunk_count), dst_off(chunk_count),
           dst_size(chunk_count);
       size_t running_comp = 0, running_uncomp = 0;
-      const uint8_t* frame_end = section + sec_len;
+      const uint8_t* frame_end = buf_end;
       for (uint32_t i = 0; i < chunk_count; i++) {
         src_size[i] = read4(sizes + 4 * i);
         src[i] = offsets ? frame_data + read4(offsets + 4 * i)
@@ -766,8 +773,8 @@ extern "C" int hapn_decode(const uint8_t* frame, unsigned long frame_len,
   if (r != HAPN_OK) return r;
   size_t used = 0;
   uint32_t fmt = 0;
-  r = decode_single_texture(section, sec_len, sec_type, out, out_cap, &used,
-                            &fmt, n_threads);
+  r = decode_single_texture(section, sec_len, sec_type, frame + frame_len,
+                            out, out_cap, &used, &fmt, n_threads);
   if (out_used) *out_used = used;
   *out_format = fmt;
   return r;
@@ -875,4 +882,186 @@ extern "C" int hapn_snappy_uncompress_batch(const uint8_t* src,
     dst_sizes[i] = got;
   });
   return err.load();
+}
+
+// ===========================================================================
+// Snappy op-table compiler (the host half of the TPU parse/execute split;
+// semantics mirror hap_tpu/snappy/optable.py op-for-op).
+//
+// Per stream: validate + walk elements, merge consecutive same-offset
+// copies / consecutive literals, expand overlapping copies (off <
+// min(m, 128)) into non-overlap doubling sequences, and compact literal
+// bytes into a dense plane. Emitted invariant: every op has m >= 1 and
+// off == 0 (literal) or min(m, 128) <= off <= bytes-produced.
+// ===========================================================================
+
+namespace {
+
+struct OpSink {
+  int32_t* ops;        // interleaved [m | end<<8, off] piece pairs
+  size_t cap;          // max piece count
+  size_t n = 0;
+  size_t overflow = 0; // pieces that did not fit (still counted)
+  int64_t pos = 0;     // output position (for 128-block splitting)
+
+  // split op at 128-byte output-block boundaries, flag block ends
+  // (mirrors optable.py's final pass)
+  inline void push(int64_t m, int64_t off) {
+    while (m > 0) {
+      int64_t pa = pos & 127;
+      int64_t take = 128 - pa < m ? 128 - pa : m;
+      int32_t end = (pa + take) == 128 ? 1 : 0;
+      if (n < cap) {
+        ops[2 * n] = (int32_t)take | (end << 8);
+        ops[2 * n + 1] = (int32_t)off;
+      } else {
+        overflow++;
+      }
+      n++;
+      pos += take;
+      m -= take;
+    }
+  }
+};
+
+// expansion of one MERGED op into the sink (after merging is final for it)
+inline void emit_expanded(OpSink& sink, int64_t m, int64_t off) {
+  if (off == 0 || off >= (m < 128 ? m : 128)) {
+    sink.push(m, off);
+    return;
+  }
+  int64_t cur = off, rem = m;
+  while (rem > 0 && cur < 128) {
+    int64_t take = cur < rem ? cur : rem;
+    sink.push(take, cur);
+    rem -= take;
+    cur *= 2;
+  }
+  if (rem > 0) sink.push(rem, cur);
+}
+
+}  // namespace
+
+// Compile one stream. Returns HAPN_OK, HAPN_BAD_FRAME (malformed),
+// or HAPN_BUFFER_TOO_SMALL (caps too small; *n_ops / *n_lit report the
+// required sizes so the caller can retry).
+static int snappy_optable_one(const uint8_t* src, size_t n,
+                              uint64_t expected_len, int32_t* ops,
+                              size_t ops_cap, uint8_t* lit, size_t lit_cap,
+                              int32_t* n_ops, int32_t* n_lit,
+                              int32_t* out_len) {
+  // varint preamble, <= 5 bytes, < 2^32 (mirrors optable._read_varint)
+  uint64_t ulen = 0;
+  size_t pos = 0;
+  {
+    int shift = 0;
+    for (int i = 0;; i++) {
+      if (i >= 5 || pos >= n) return HAPN_BAD_FRAME;
+      uint8_t b = src[pos++];
+      ulen |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (ulen >= (1ull << 32) || ulen != expected_len) return HAPN_BAD_FRAME;
+  }
+
+  // Pass: walk raw elements, merging into a small lookback. Merging only
+  // needs the previous MERGED op; expansion must happen when a merged op
+  // is final (the next element has a different offset). Keep one pending
+  // merged op and flush it through emit_expanded.
+  int64_t pend_m = -1, pend_off = -1;
+  OpSink sink{ops, ops_cap};
+  size_t lit_n = 0, lit_over = 0;
+  uint64_t op = 0;
+  while (pos < n) {
+    uint8_t tag = src[pos++];
+    int kind = tag & 3;
+    int64_t m, off;
+    if (kind == 0) {
+      int64_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        int extra = (int)(len - 60);
+        if (pos + extra > n) return HAPN_BAD_FRAME;
+        uint64_t v = 0;
+        for (int k = 0; k < extra; k++) v |= (uint64_t)src[pos + k] << (8 * k);
+        len = (int64_t)v + 1;
+        pos += extra;
+      }
+      if (pos + (uint64_t)len > n || op + (uint64_t)len > ulen)
+        return HAPN_BAD_FRAME;
+      // compact literal bytes
+      if (lit_n + (size_t)len <= lit_cap)
+        std::memcpy(lit + lit_n, src + pos, (size_t)len);
+      else
+        lit_over += (size_t)len;
+      lit_n += (size_t)len;
+      pos += (size_t)len;
+      m = len;
+      off = 0;
+    } else {
+      if (kind == 1) {
+        if (pos + 1 > n) return HAPN_BAD_FRAME;
+        m = ((tag >> 2) & 7) + 4;
+        off = ((int64_t)(tag >> 5) << 8) | src[pos];
+        pos += 1;
+      } else if (kind == 2) {
+        if (pos + 2 > n) return HAPN_BAD_FRAME;
+        m = (tag >> 2) + 1;
+        off = (int64_t)src[pos] | ((int64_t)src[pos + 1] << 8);
+        pos += 2;
+      } else {
+        if (pos + 4 > n) return HAPN_BAD_FRAME;
+        m = (tag >> 2) + 1;
+        off = (int64_t)src[pos] | ((int64_t)src[pos + 1] << 8) |
+              ((int64_t)src[pos + 2] << 16) | ((int64_t)src[pos + 3] << 24);
+        pos += 4;
+      }
+      if (off < 1 || (uint64_t)off > op || op + (uint64_t)m > ulen)
+        return HAPN_BAD_FRAME;
+    }
+    op += (uint64_t)m;
+    if (pend_off == off && pend_m >= 0) {
+      pend_m += m;  // continue the merged run
+    } else {
+      if (pend_m >= 0) emit_expanded(sink, pend_m, pend_off);
+      pend_m = m;
+      pend_off = off;
+    }
+  }
+  if (op != ulen) return HAPN_BAD_FRAME;
+  if (pend_m >= 0) emit_expanded(sink, pend_m, pend_off);
+
+  *n_ops = (int32_t)sink.n;
+  *n_lit = (int32_t)lit_n;
+  *out_len = (int32_t)ulen;
+  if (sink.overflow || lit_over) return HAPN_BUFFER_TOO_SMALL;
+  return HAPN_OK;
+}
+
+// Batch entry: count streams -> ops (count, ops_cap, 2) i32, lit planes
+// (count, lit_cap) u8, per-stream n_ops/n_lit/out_len/status. status[i] is
+// HAPN_OK, HAPN_BAD_FRAME (table invalid: treat as malformed stream), or
+// HAPN_BUFFER_TOO_SMALL (retry with reported sizes). Streams with
+// src_sizes[i] == 0 are skipped (status HAPN_BAD_FRAME, 0 ops) — callers
+// pass raw (non-Snappy) chunks that way.
+extern "C" int hapn_snappy_optable_batch(
+    const uint8_t* src, const unsigned long* src_offsets,
+    const unsigned long* src_sizes, const unsigned long* expected_lens,
+    int32_t* ops, unsigned long ops_cap, uint8_t* lit, unsigned long lit_cap,
+    int32_t* n_ops, int32_t* n_lit, int32_t* out_lens, int32_t* status,
+    unsigned int count, int n_threads) {
+  parallel_for(count, n_threads, [&](uint32_t i) {
+    n_ops[i] = 0;
+    n_lit[i] = 0;
+    out_lens[i] = 0;
+    if (src_sizes[i] == 0) {
+      status[i] = HAPN_BAD_FRAME;
+      return;
+    }
+    status[i] = snappy_optable_one(
+        src + src_offsets[i], src_sizes[i], expected_lens[i],
+        ops + (size_t)i * ops_cap * 2, ops_cap, lit + (size_t)i * lit_cap,
+        lit_cap, &n_ops[i], &n_lit[i], &out_lens[i]);
+  });
+  return HAPN_OK;
 }

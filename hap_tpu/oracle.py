@@ -199,6 +199,33 @@ def decode(
         return out.raw[: used.value], int(fmt.value)
 
 
+def decode_raw(inbuf, length: int, index: int = 0, *,
+               out_cap: Optional[int] = None) -> Tuple[bytes, int]:
+    """decode() on a caller-owned ctypes buffer, WITHOUT copying the frame.
+
+    For harnesses that place the frame against a guard page to catch the
+    reference's unchecked chunk-data reads (tests/test_oracle_fuzz.py) —
+    a copy into a fresh string buffer would defeat the guard.
+    """
+    lib = load()
+    if out_cap is None:
+        out_cap = max(64, 16 * length)
+    while True:
+        out = ctypes.create_string_buffer(out_cap)
+        used = ctypes.c_ulong(0)
+        fmt = ctypes.c_uint(0)
+        rc = lib.oracle_decode(
+            inbuf, ctypes.c_ulong(length), ctypes.c_uint(index),
+            ctypes.c_int(0),
+            out, ctypes.c_ulong(out_cap), ctypes.byref(used), ctypes.byref(fmt))
+        if rc == 2 and out_cap < 1 << 32:  # Buffer_Too_Small
+            out_cap *= 4
+            continue
+        if rc != 0:
+            raise OracleError(rc, "HapDecode")
+        return out.raw[: used.value], int(fmt.value)
+
+
 def texture_count(frame: bytes) -> int:
     """Real HapGetFrameTextureCount (hap.c:1042)."""
     lib = load()

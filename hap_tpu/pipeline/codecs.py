@@ -238,12 +238,12 @@ def _decode_texture_python(frame, index: int) -> bytes:
     """Pure-Python texture decode (plan + pyref snappy) — fallback path and
 
     differential-test oracle for the native runtime."""
-    from hap_tpu.container.parse import parse_frame
+    from hap_tpu.container.parse import plan_texture_at
     from hap_tpu.constants import CHUNK_COMPRESSOR_SNAPPY
     from hap_tpu.snappy import pyref
 
     view = memoryview(frame)
-    tex = parse_frame(frame).textures[index]
+    tex = plan_texture_at(frame, index)
     out = bytearray(tex.decoded_bytes)
     for i in range(tex.chunk_count):
         off = int(tex.chunk_compressed_offsets[i])

@@ -27,13 +27,20 @@ Compilation steps per stream:
    pieces never read bytes they are writing; the period-doubling rounds
    (the dominant per-element cost of the fused kernel,
    tools/probe_general_cost.py) disappear from the device entirely.
+5. Split every op at 128-byte OUTPUT-block boundaries (the host knows the
+   exact output position of every op, so the alignment is static data):
+   each emitted piece has m <= 128, never crosses a block boundary, and
+   carries an end-of-block flag. The executor's per-stage state machine
+   collapses to scalar prefix sums — no min() chains, no continuation
+   state, no fetch predication, no flush predicates.
 
-Op encoding (int32 x 2): [m, off]; off == 0 means literal (source = the
-literal plane at the running literal cursor), off > 0 means copy from
-``off`` bytes back in the output.
+Piece encoding (int32 x 2): [m | end_of_block << 8, off]; off == 0 means
+literal (source = the literal plane at the running literal cursor),
+off > 0 means copy from ``off`` bytes back in the output.
 
-The kernel invariant delivered: every op has m >= 1, and off == 0 or
-(off >= min(m, 128) and off <= bytes-already-produced).
+The kernel invariant delivered: every piece has 1 <= m <= 128, stays
+inside one 128-byte output block, and off == 0 or m <= off <= bytes
+already produced.
 """
 
 from __future__ import annotations
@@ -46,7 +53,7 @@ import numpy as np
 
 @dataclass
 class OpTable:
-    ops: np.ndarray  # (N, 2) int32 [m, off]; off==0 -> literal
+    ops: np.ndarray  # (N, 2) int32 [m | end<<8, off]; off==0 -> literal
     lit: np.ndarray  # (L,) uint8 dense literal plane, stream order
     out_len: int  # decoded size (== validated varint preamble)
 
@@ -137,20 +144,31 @@ def build_op_table(stream: bytes, expected_len: Optional[int] = None
             merged.append([m, off])
 
     # -- expand overlap copies into non-overlapping doubling sequence -----
-    ops: List[Tuple[int, int]] = []
+    expanded: List[Tuple[int, int]] = []
     for m, off in merged:
         if off == 0 or off >= min(m, 128):
-            ops.append((m, off))
+            expanded.append((m, off))
             continue
         # period-doubling expansion: each emitted op has off_k >= m_k
         cur_off, rem = off, m
         while rem > 0 and cur_off < 128:
             take = min(cur_off, rem)
-            ops.append((take, cur_off))
+            expanded.append((take, cur_off))
             rem -= take
             cur_off *= 2
         if rem > 0:
-            ops.append((rem, cur_off))
+            expanded.append((rem, cur_off))
+
+    # -- split at 128-byte output-block boundaries, flag block ends -------
+    ops: List[Tuple[int, int]] = []
+    pos = 0
+    for m, off in expanded:
+        while m > 0:
+            take = min(m, 128 - (pos & 127))
+            end = 1 if ((pos & 127) + take) == 128 else 0
+            ops.append((take | (end << 8), off))
+            pos += take
+            m -= take
 
     lit = np.empty(sum(ln for _, ln in lit_parts), np.uint8)
     w = 0
@@ -178,8 +196,24 @@ class PackedTables:
 
 
 def pack_tables(streams: Sequence[bytes],
-                expected_lens: Optional[Sequence[int]] = None
-                ) -> PackedTables:
+                expected_lens: Optional[Sequence[int]] = None,
+                prefer_native: bool = True) -> PackedTables:
+    """Compile a set of streams to fixed-shape tables.
+
+    Uses the multithreaded C++ compiler (native/src/hapn.cpp:
+    hapn_snappy_optable_batch — byte-identical tables, differentially
+    tested) when available; the Python builder is the semantic reference.
+    """
+    if prefer_native and expected_lens is not None:
+        try:
+            from hap_tpu import native
+
+            ops, n_ops, lit, n_lit, out_len, ok = native.snappy_optable_batch(
+                streams, expected_lens)
+            return PackedTables(ops=ops, n_ops=n_ops, lit=lit, n_lit=n_lit,
+                                out_len=out_len, ok=ok)
+        except Exception:
+            pass  # toolchain unavailable -> Python reference below
     tables = []
     for i, s in enumerate(streams):
         exp = None if expected_lens is None else int(expected_lens[i])
@@ -211,22 +245,17 @@ def execute_table_host(t: OpTable) -> bytes:
     out = np.zeros(t.out_len, np.uint8)
     op = 0
     lc = 0
-    for m, off in t.ops:
-        m, off = int(m), int(off)
+    for w0, off in t.ops:
+        m, end, off = int(w0) & 0xFF, int(w0) >> 8, int(off)
+        assert 1 <= m <= 128 and (op & 127) + m <= 128, (m, op)
+        assert end == (1 if ((op & 127) + m == 128) else 0)
         if off == 0:
             out[op:op + m] = t.lit[lc:lc + m]
             lc += m
         else:
-            # off >= min(m, 128): pieces of <= off bytes never read bytes
-            # they write (sequential-copy semantics, matching the kernel's
-            # <= 128-byte pieces)
-            assert off >= min(m, 128) and off <= op, (m, off, op)
-            done = 0
-            while done < m:
-                k = min(off, m - done)
-                dst = op + done
-                out[dst:dst + k] = out[dst - off:dst - off + k]
-                done += k
+            # m <= off: the piece never reads bytes it writes
+            assert off >= m and off <= op, (m, off, op)
+            out[op:op + m] = out[op - off:op - off + m]
         op += m
     assert op == t.out_len
     return out.tobytes()

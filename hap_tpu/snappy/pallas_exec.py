@@ -1,36 +1,37 @@
 """Pallas op-table executor: the device half of the parse/execute split.
 
-Replays host-compiled op tables (snappy/optable.py) into decoded bytes.
+Replays host-compiled piece tables (snappy/optable.py) into decoded bytes.
 Where the fused general kernel (pallas_general.py) walks tags, validates,
 and resolves copy overlap per element on device (~500-726 ns/element,
 tools/probe_general_cost.py), this executor receives uniform pre-validated
-ops and is built around the three measured cost facts of this toolchain:
+PIECES — each writes 1..128 bytes and never crosses a 128-byte output
+block boundary (the host pre-split ops on the exact output positions it
+already knows) — and is built around the measured cost facts of this
+toolchain (tools/probe_general_cost.py, tools/probe_exec2.py):
 
-1. dependent dynamic-shift rolls are the expensive primitive (~80 ns each,
-   serially chained) -> exactly ONE combined roll per op piece (source
-   phase -> destination lane), and NO period-doubling rounds at all (the
-   host expanded overlapping copies into non-overlap sequences);
-2. the loop boundary costs ~600 ns/iteration -> each iteration advances
-   ``tc`` interleaved chunk chains by up to P=4 ops / 128 output bytes
-   each;
-3. VMEM loads (even from rows the kernel wrote) are nearly free -> far
-   copy sources and literal bytes stream from rows with plain aligned
-   loads; the current and previous output block live in registers, so the
-   common (near-copy) path touches no memory at all, and output rows are
-   written ONCE each (no read-modify-write merge stores).
+1. dependent dynamic-shift rolls are the expensive primitive -> exactly
+   ONE combined dynamic roll per piece (source phase -> destination lane)
+   and NO period-doubling rounds (the host expanded overlapping copies);
+2. control-flow regions (pl.when) and per-stage vector->scalar round
+   trips serialize Mosaic's schedule -> the chain step has NO predicated
+   regions at all: stores are unconditional (a partially-assembled row is
+   legally overwritten when the block completes) and all per-stage
+   control is scalar prefix arithmetic over piece params extracted once
+   per iteration;
+3. the loop boundary costs ~600 ns -> each iteration advances tc
+   interleaved chunk chains by n_stages=4 pieces (up to 512 B) each;
+4. VMEM loads are nearly free -> far-copy sources and literal bytes
+   stream from rows with plain aligned loads (literals were copied into
+   rows [nout, nout+nlit) at kernel start, unifying both source kinds);
+   the current and previous output blocks live in registers, so near
+   copies touch no memory.
 
-Block-centric chain step (per chain, per stage): fetch the next op when
-the current one is exhausted; take m_eff = min(m_rem, 128 - pa) bytes;
-form the 256-lane source window — near copies from [P1|V] registers, far
-copies / literals from two out_ref rows (literals were copied into rows
-[nout, nout+nlit) at kernel start, unifying both streams) — roll once to
-place the source at lane pa, select into V; flush V with one aligned
-dynamic-row store when the block completes.
-
-Kernel input invariant (guaranteed by optable.build_op_table): every op
-has m >= 1 and off == 0 (literal) or min(m, 128) <= off <= bytes already
-produced. All dynamic row indices are clamped anyway — a malformed table
-must degrade to garbage output, never a fault (CLAUDE.md §4).
+Kernel input invariant (guaranteed by optable.build_op_table /
+hapn_snappy_optable_batch): every piece has 1 <= m <= 128, stays inside
+one output block (end flag = reaches its boundary), and off == 0 or
+m <= off <= bytes already produced. All dynamic row indices are clamped
+anyway — a malformed table must degrade to garbage output, never a fault
+(CLAUDE.md §4).
 """
 
 from __future__ import annotations
@@ -58,28 +59,27 @@ def _pick_tc(rows_per_chain: int) -> int:
     return 1
 
 
-@functools.partial(
-    jax.jit, static_argnames=("S_max", "n_stages"))
+@functools.partial(jax.jit, static_argnames=("S_max", "n_stages"))
 def execute_op_tables(
-    ops: jnp.ndarray,  # (C, NOPS, 2) int32 [m, off]; off==0 -> literal
+    ops: jnp.ndarray,  # (C, NOPS, 2) int32 [m|end<<8, off]; off==0 -> literal
     n_ops: jnp.ndarray,  # (C,) int32
     lit: jnp.ndarray,  # (C, L) uint8 literal planes
     out_len: jnp.ndarray,  # (C,) int32 decoded sizes (<= S_max)
     S_max: int,
     n_stages: int = 4,
 ) -> jnp.ndarray:
-    """Execute C op tables -> (C, S_max) uint8 decoded rows.
+    """Execute C piece tables -> (C, S_max) uint8 decoded rows.
 
     Rows whose host verdict was "malformed" must be passed with
-    n_ops == 0; they come back zero-filled (the caller carries the host ok
-    flags — the kernel itself cannot fail, only produce garbage for
-    garbage tables).
+    n_ops == 0; their output rows are undefined (the caller carries the
+    host ok flags — the kernel itself cannot fail, only produce garbage
+    for garbage tables).
     """
     C0, NOPS, _ = ops.shape
     L = lit.shape[1]
     nout = -(-S_max // 128)
     nlit = -(-L // 128)
-    nops_rows = -(-(NOPS * 2) // 128)
+    nops_rows = -(-(NOPS * 2) // 128) + 1  # +1: unclamped row+1 reads
     ntot = nout + nlit
     tc = _pick_tc(nops_rows + nlit + ntot)
     if C0 % tc:
@@ -91,10 +91,8 @@ def execute_op_tables(
     C = ops.shape[0]
 
     # Load balance: lockstep chains cost their longest member, so sort by
-    # descending step estimate (ops + output blocks) into contiguous
-    # groups; unsort on return.
-    est = n_ops + (out_len + 127) // 128
-    perm = jnp.argsort(-est)
+    # descending piece count into contiguous groups; unsort on return.
+    perm = jnp.argsort(-n_ops)
     inv = jnp.argsort(perm)
     ops = jnp.take(ops, perm, axis=0)
     n_ops = jnp.take(n_ops, perm)
@@ -102,7 +100,8 @@ def execute_op_tables(
     out_len = jnp.take(out_len, perm)
 
     ops_blocks = (
-        jnp.pad(ops.reshape(C, NOPS * 2), ((0, 0), (0, nops_rows * 128 - NOPS * 2)))
+        jnp.pad(ops.reshape(C, NOPS * 2),
+                ((0, 0), (0, nops_rows * 128 - NOPS * 2)))
         .reshape(C, nops_rows, 128)
     )
     lit_blocks = (
@@ -111,6 +110,7 @@ def execute_op_tables(
         .reshape(C, nlit, 128)
     )
     meta = jnp.stack([n_ops.astype(_I32), out_len.astype(_I32)], axis=1)
+    P = n_stages
 
     def kernel(meta_ref, ops_ref, lit_ref, out_ref):
         lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
@@ -125,88 +125,72 @@ def execute_op_tables(
 
         jax.lax.fori_loop(0, nlit, litcopy, 0)
 
-        # chain carry: (opi, m_rem, off_cur, lc, outpos, V, P1) x tc
-        def chain_stage(j, opi, m_rem, off_cur, lc, outpos, V, P1):
-            fetch = (m_rem == 0) & (opi < nops_j[j])
-            flat = jnp.clip(opi, 0, NOPS - 1) * 2
-            oprow = ops_ref[j, flat // 128, :].reshape(1, 128)
-            opw = pltpu.roll(oprow, (128 - flat % 128) % 128, 1)
-            m_rem = jnp.where(fetch, opw[0, 0], m_rem)
-            off_cur = jnp.where(fetch, opw[0, 1], off_cur)
-            opi = opi + fetch.astype(_I32)
+        def chain_iter(j, opi, outpos, lc, V, P1):
+            # one batched piece-param fetch per iteration: 2 loads + one
+            # dynamic roll + 2P static-lane extracts
+            flat = opi * 2
+            row = jnp.clip(flat // 128, 0, nops_rows - 2)
+            W = jnp.concatenate(
+                [ops_ref[j, row, :].reshape(1, 128),
+                 ops_ref[j, row + 1, :].reshape(1, 128)], axis=1)
+            W = pltpu.roll(W, (256 - (flat - row * 128)) % 256, 1)
 
-            pa = outpos & 127
-            m_eff = jnp.where(m_rem > 0, jnp.minimum(m_rem, 128 - pa), 0)
-            is_lit = off_cur == 0
-            s = jnp.where(is_lit, nout * 128 + lc, outpos - off_cur)
-            s = jnp.clip(s, 0, ntot * 128 - 1)
-            near = (~is_lit) & (off_cur <= pa + 128)
-
-            # A legal source never crosses OUT of the final row, so the two
-            # row reads clamp independently (row0+1 collapses to row0 there).
-            row0 = jnp.clip(s // 128, 0, ntot - 1)
-            row1 = jnp.minimum(row0 + 1, ntot - 1)
-            wf = jnp.concatenate(
-                [out_ref[j, row0, :].reshape(1, 128),
-                 out_ref[j, row1, :].reshape(1, 128)], axis=1)
-            wn = jnp.concatenate([P1, V], axis=1)
-            w = jnp.where(near, wn, wf)
-            srcl = jnp.where(near, 128 + pa - off_cur, s & 127)
-            srcl = jnp.clip(srcl, 0, 255)
-            placed = pltpu.roll(w, (pa - srcl) % 256, 1)[:, :128]
-            V = jnp.where(
-                (lane128 >= pa) & (lane128 < pa + m_eff), placed, V)
-
-            outpos = outpos + m_eff
-            m_rem = m_rem - m_eff
-            lc = lc + jnp.where(is_lit, m_eff, 0)
-            full = ((outpos & 127) == 0) & (m_eff > 0)
-
-            @pl.when(full)
-            def _():
-                out_ref[j, jnp.clip(outpos // 128 - 1, 0, ntot - 1), :] = V[0]
-
-            P1 = jnp.where(full, V, P1)
-            V = jnp.where(full, jnp.zeros((1, 128), _I32), V)
-            return opi, m_rem, off_cur, lc, outpos, V, P1
-
-        def actives(c):
-            return [
-                (c[7 * j + 1] > 0) | (c[7 * j] < nops_j[j]) for j in range(tc)
-            ]
+            for p in range(P):
+                w0 = W[0, 2 * p]
+                off = W[0, 2 * p + 1]
+                live = (opi + p < nops_j[j]).astype(_I32)
+                m = (w0 & 255) * live
+                end = (w0 >> 8) * live
+                pa = outpos & 127
+                is_lit = off == 0
+                s = jnp.where(is_lit, nout * 128 + lc, outpos - off)
+                s = jnp.clip(s, 0, ntot * 128 - 1)
+                near = (~is_lit) & (off <= pa + 128)
+                row0 = jnp.clip(s // 128, 0, ntot - 1)
+                row1 = jnp.minimum(row0 + 1, ntot - 1)
+                wf = jnp.concatenate(
+                    [out_ref[j, row0, :].reshape(1, 128),
+                     out_ref[j, row1, :].reshape(1, 128)], axis=1)
+                wn = jnp.concatenate([P1, V], axis=1)
+                w = jnp.where(near, wn, wf)
+                srcl = jnp.where(near, 128 + pa - off, s & 127)
+                srcl = jnp.clip(srcl, 0, 255)
+                placed = pltpu.roll(w, (pa - srcl) % 256, 1)[:, :128]
+                V = jnp.where(
+                    (lane128 >= pa) & (lane128 < pa + m), placed, V)
+                # Unconditional flush of the block this piece lives in; a
+                # partial row is legally rewritten when the block
+                # completes. Inert stages (m == 0) target the last lit
+                # row — theirs, and their chain is finished.
+                rowd = jnp.where(
+                    m > 0, jnp.clip((outpos + m - 1) // 128, 0, ntot - 1),
+                    ntot - 1)
+                out_ref[j, rowd, :] = V[0]
+                P1 = jnp.where(end > 0, V, P1)
+                V = jnp.where(end > 0, jnp.zeros((1, 128), _I32), V)
+                outpos = outpos + m
+                lc = lc + jnp.where(is_lit, m, 0)
+            return opi + P, outpos, lc, V, P1
 
         def cond(c):
-            a = actives(c)
-            r = a[0]
-            for x in a[1:]:
-                r = r | x
+            r = c[0] < nops_j[0]
+            for j in range(1, tc):
+                r = r | (c[5 * j] < nops_j[j])
             return r
 
         def body(c):
             out = []
             for j in range(tc):
-                st = c[7 * j: 7 * j + 7]
-                for _ in range(n_stages):
-                    st = chain_stage(j, *st)
-                out.extend(st)
+                out.extend(chain_iter(j, *c[5 * j: 5 * j + 5]))
             return tuple(out)
 
         carry = []
         for j in range(tc):
             carry.extend([
-                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), jnp.zeros((1, 128), _I32),
-                jnp.zeros((1, 128), _I32),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.zeros((1, 128), _I32), jnp.zeros((1, 128), _I32),
             ])
-        carry = jax.lax.while_loop(cond, body, tuple(carry))
-
-        # final partial block
-        for j in range(tc):
-            outpos, V = carry[7 * j + 4], carry[7 * j + 5]
-
-            @pl.when((outpos & 127) > 0)
-            def _():
-                out_ref[j, jnp.clip(outpos // 128, 0, ntot - 1), :] = V[0]
+        jax.lax.while_loop(cond, body, tuple(carry))
 
     out = pl.pallas_call(
         kernel,

@@ -52,13 +52,15 @@ def test_table_host_executor_roundtrip(kind, n):
     t = build_op_table(stream, expected_len=n)
     assert t is not None
     assert execute_table_host(t) == data
-    # kernel invariant: off == 0 or min(m,128) <= off <= produced
+    # kernel invariant: pieces stay in one block; off == 0 or m <= off <= produced
     op = 0
-    for m, off in t.ops:
-        assert m >= 1
+    for w0, off in t.ops:
+        m, end = int(w0) & 0xFF, int(w0) >> 8
+        assert 1 <= m <= 128 and (op & 127) + m <= 128
+        assert end == (1 if (op & 127) + m == 128 else 0)
         if off:
-            assert off >= min(int(m), 128) and off <= op
-        op += int(m)
+            assert off >= m and off <= op
+        op += m
 
 
 def test_table_invariants_on_adversarial_streams():

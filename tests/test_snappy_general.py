@@ -189,6 +189,30 @@ def test_good_and_bad_chunks_mixed():
     assert np.asarray(out)[2].tobytes() == _content("text", 300, seed=2)
 
 
+@pytest.mark.parametrize("impl", ["hybrid", "branch", "interleaved", "serial"])
+def test_impl_matrix(impl):
+    """Every selectable kernel variant passes one combined scenario:
+    mixed content (roundtrip incl. overlap copies), a malformed row, and a
+    good/bad mix — so no env-selectable kernel ships suite-untested
+    (CLAUDE.md §4: interpret-mode coverage before silicon)."""
+    payloads = [
+        _content("periodic", 700, seed=1),  # overlap copies, period 16
+        _content("text", 543, seed=2),
+        _content("random", 700, seed=3),
+        _content("zeros", 700, seed=4),
+    ]
+    streams = [pyref.compress(p) for p in payloads]
+    streams.append(streams[1][:9])  # truncated -> malformed
+    payloads.append(b"\x00" * 543)
+    comp, clen = _pack(streams, 700)
+    ulen = jnp.asarray([len(p) for p in payloads], jnp.int32)
+    out, ok = decode_any_streams(comp, clen, ulen, 700, impl=impl)
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert ok.tolist() == [True, True, True, True, False]
+    for i, p in enumerate(payloads[:4]):
+        assert out[i, : len(p)].tobytes() == p, f"impl={impl} row {i}"
+
+
 def test_against_native_cpp_encoder():
     """Streams from the C++ runtime's general matcher decode identically."""
     try:

@@ -86,7 +86,51 @@ def main():
         ulen_d = jax.device_put(jnp.asarray(usizes[sel], jnp.int32), dev)
         pix_share = H * W * float(usizes[sel].sum()) / float(usizes.sum())
 
-        impls = os.environ.get("BENCH_IMPLS", "branch,interleaved").split(",")
+        # Host-side op-table compile (the parse half of the split route).
+        from hap_tpu.snappy.optable import pack_tables
+        from hap_tpu.snappy.pallas_exec import execute_op_tables
+
+        t0 = time.time()
+        streams = [
+            frame_np[int(tex.chunk_compressed_offsets[i]):
+                     int(tex.chunk_compressed_offsets[i]) + int(csizes[i])
+                     ].tobytes()
+            for i in sel
+        ]
+        p = pack_tables(streams, [int(usizes[i]) for i in sel])
+        t_compile = time.time() - t0
+        assert p.ok.all()
+        log(f"[table] host op-table compile: {t_compile*1000:.1f} ms "
+            f"({p.ops.shape[0]}x{p.ops.shape[1]} ops, lit {p.lit.shape[1]} B)")
+        ops_d = jax.device_put(jnp.asarray(p.ops), dev)
+        nops_d = jax.device_put(jnp.asarray(p.n_ops), dev)
+        lit_d = jax.device_put(jnp.asarray(p.lit), dev)
+        olen_d = jax.device_put(jnp.asarray(p.out_len), dev)
+        fn_t = jax.jit(functools_partial(execute_op_tables, S_max=S_max))
+        t0 = time.time()
+        out = fn_t(ops_d, nops_d, lit_d, olen_d)
+        _ = float(jnp.sum(out.astype(jnp.int32)))
+        log(f"[table] compile+first: {time.time()-t0:.1f}s")
+        got = np.asarray(out)
+        for row, i in enumerate(sel):
+            lo = int(tex.chunk_uncompressed_offsets[i])
+            nn = int(usizes[i])
+            assert got[row, :nn].tobytes() == payload[lo: lo + nn], row
+        times = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            out = fn_t(ops_d, nops_d, lit_d, olen_d)
+            _ = float(jnp.sum(out.astype(jnp.int32)))
+            times.append(time.time() - t0)
+        dt = sorted(times)[ITERS // 2]
+        log(f"[table] executor kernel ({len(sel)} chunks): {dt*1000:.1f} ms "
+            f"-> {pix_share/dt/1e6:.1f} Mpix/s "
+            f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+
+        impls = os.environ.get(
+            "BENCH_IMPLS", "hybrid,branch,interleaved").split(",")
+        if os.environ.get("BENCH_SKIP_FUSED"):
+            impls = []
         for impl in impls:
             fn = jax.jit(functools_partial(decode_any_streams, S_max=S_max,
                                            impl=impl))
@@ -120,21 +164,24 @@ def main():
 
         frame_dev = jax.device_put(
             jnp.asarray(np.frombuffer(frame, np.uint8)), dev)
-        t0 = time.time()
-        pix, ok = decode_frame_any_device(frame, H, W, frame_dev=frame_dev)
-        _ = float(jnp.sum(pix.astype(jnp.int32)) + ok)
-        log(f"e2e-device compile+first: {time.time()-t0:.1f}s "
-            f"ok={bool(ok)}")
-        times = []
-        for _ in range(ITERS):
+        for route in ("table", "kernel"):
             t0 = time.time()
-            pix, ok = decode_frame_any_device(frame, H, W, frame_dev=frame_dev)
+            pix, ok = decode_frame_any_device(
+                frame, H, W, frame_dev=frame_dev, snappy=route)
             _ = float(jnp.sum(pix.astype(jnp.int32)) + ok)
-            times.append(time.time() - t0)
-        dt = sorted(times)[ITERS // 2]
-        log(f"e2e device-resident foreign decode: {dt*1000:.1f} ms/frame -> "
-            f"{H*W/dt/1e6:.1f} Mpix/s "
-            f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+            log(f"e2e-device[{route}] compile+first: {time.time()-t0:.1f}s "
+                f"ok={bool(ok)}")
+            times = []
+            for _ in range(ITERS):
+                t0 = time.time()
+                pix, ok = decode_frame_any_device(
+                    frame, H, W, frame_dev=frame_dev, snappy=route)
+                _ = float(jnp.sum(pix.astype(jnp.int32)) + ok)
+                times.append(time.time() - t0)
+            dt = sorted(times)[ITERS // 2]
+            log(f"e2e device-resident foreign decode [{route}]: "
+                f"{dt*1000:.1f} ms/frame -> {H*W/dt/1e6:.1f} Mpix/s "
+                f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
 
         # Hybrid: native C++ snappy on host (threads) + device BCn.
         t0 = time.time()
