@@ -143,6 +143,39 @@ def main():
         f"median of 5x3 classes): enc {t_enc*1000:.1f} ms + dec "
         f"{t_dec*1000:.1f} ms -> {base_mpix:.1f} Mpix/s")
 
+    # --- multithreaded anchor: the reference's design intent is threaded
+    # chunk decode (hap.h:93,113-116); beating only its serial mode is not
+    # beating the reference. Same payloads through the C++ runtime's
+    # thread pool on every core of this host.
+    ncpu = os.cpu_count() or 1
+    enc_mt, dec_mt = [], []
+    for i in range(3):
+        words = _encode_blocks("hap_q", jnp.asarray(batch_np[i]))
+        payload = np.asarray(
+            unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+        ).tobytes()
+        reps = 5
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            ref_frame = native.encode([payload], [0x01], [1], [CHUNKS],
+                                      n_threads=ncpu)
+            ts.append(time.time() - t0)
+        enc_mt.append(sorted(ts)[reps // 2])
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            ref_out, _ = native.decode(ref_frame, n_threads=ncpu)
+            ts.append(time.time() - t0)
+        dec_mt.append(sorted(ts)[reps // 2])
+        assert ref_out == payload
+    t_enc_mt = float(np.median(enc_mt))
+    t_dec_mt = float(np.median(dec_mt))
+    base_mt_mpix = H * W / (t_enc_mt + t_dec_mt) / 1e6
+    log(f"baseline (reference workload, CPU {ncpu}-thread chunk pool): "
+        f"enc {t_enc_mt*1000:.1f} ms + dec {t_dec_mt*1000:.1f} ms -> "
+        f"{base_mt_mpix:.1f} Mpix/s")
+
     detail = {
         "config": {"H": H, "W": W, "chunks": CHUNKS, "batch": BATCH,
                    "content": "16 distinct frames, classes natural/graphics/noise"},
@@ -157,17 +190,69 @@ def main():
                      "max": round(float(flens.max()) / 1e6, 2)},
         "cpu_anchor_ms": {"encode": round(t_enc * 1000, 1),
                           "decode": round(t_dec * 1000, 1)},
+        "cpu_anchor_mt_ms": {"encode": round(t_enc_mt * 1000, 1),
+                             "decode": round(t_dec_mt * 1000, 1),
+                             "threads": ncpu},
     }
+
+    # --- foreign-frame serving (real HapEncode streams, GOP session) ------
+    foreign_mpix = None
+    if os.environ.get("BENCH_FOREIGN", "1") == "1":
+        try:
+            from hap_tpu import oracle
+            from hap_tpu.pipeline.any_frame import ForeignGopSession
+            from hap_tpu.constants import TextureFormat
+
+            from tools.bench_content import make_frame
+
+            fgop = 8
+            frames = []
+            for k in range(fgop):  # graphics class = worst measured
+                img_k = make_frame("graphics", k, H, W)
+                words = _encode_blocks("hap_q", jnp.asarray(img_k))
+                pay = np.asarray(
+                    unpack_u32_to_u8(words.reshape(1, -1)).reshape(-1)
+                ).tobytes()
+                frames.append(oracle.encode(
+                    [pay], [int(TextureFormat.YCoCg_DXT5)], [1], [CHUNKS]))
+            sess = ForeignGopSession(H, W)
+            staged = [sess.stage(f) for f in frames]
+            pix, okg = sess.decode_gop(staged)
+            _ = float(jnp.sum(pix.astype(jnp.int32)) + jnp.sum(okg))
+            assert np.asarray(okg).all()
+            fts = []
+            for _ in range(5):
+                t0 = time.time()
+                pix, okg = sess.decode_gop(staged)
+                _ = float(jnp.sum(pix.astype(jnp.int32)) + jnp.sum(okg))
+                fts.append(time.time() - t0)
+            fdt = sorted(fts)[2] / fgop
+            foreign_mpix = H * W / fdt / 1e6
+            log(f"foreign serving (real HapEncode frames, {fgop}-frame GOP): "
+                f"{fdt*1000:.1f} ms/frame -> {foreign_mpix:.1f} Mpix/s")
+            detail["foreign_gop"] = {"ms_per_frame": round(fdt * 1000, 2),
+                                     "mpix_s": round(foreign_mpix, 1),
+                                     "gop": fgop}
+        except Exception as e:  # oracle toolchain missing etc.
+            log(f"foreign serving row skipped: {e}")
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    print(json.dumps({
+    row = {
         "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip, 16 distinct frames)",
         "value": round(mpix, 1),
         "unit": "Mpixels/s",
-        "vs_baseline": round(mpix / base_mpix, 3),
-    }))
+        # headline ratio vs the THREADED reference workload (its design
+        # intent, hap.h:93); the serial ratio is kept alongside.
+        "vs_baseline": round(mpix / base_mt_mpix, 3),
+        "vs_baseline_1t": round(mpix / base_mpix, 3),
+        "vs_baseline_mt": round(mpix / base_mt_mpix, 3),
+    }
+    if foreign_mpix is not None:
+        row["foreign_gop_mpix_s"] = round(foreign_mpix, 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,28 @@ def _block_fns(codec: str) -> Tuple[Callable, Callable, int, int]:
             1,
             2,
         )
+    if codec == "hap_r":
+        from hap_tpu.kernels.bc7 import bc7_decode_blocks, bc7_encode_blocks
+
+        return bc7_encode_blocks, bc7_decode_blocks, 4, 4
+    if codec in ("hap_hdr", "hap_hdr_signed"):
+        from hap_tpu.kernels.bc6h import (
+            bc6h_decode_blocks,
+            bc6h_encode_blocks_mode11,
+            bc6h_encode_blocks_mode11_signed,
+            f32_to_half_bits,
+            half_bits_to_f32,
+        )
+
+        signed = codec == "hap_hdr_signed"
+        enc11 = (bc6h_encode_blocks_mode11_signed if signed
+                 else bc6h_encode_blocks_mode11)
+        return (
+            lambda b: enc11(f32_to_half_bits(b.astype(jnp.float32))),
+            lambda w: half_bits_to_f32(bc6h_decode_blocks(w, signed=signed)),
+            3,
+            4,
+        )
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -122,113 +144,172 @@ def sharded_frame_roundtrip(
     return jax.jit(sharded)
 
 
+_SPATIAL_FMT = {
+    "hap": "RGB_DXT1",
+    "hap_alpha": "RGBA_DXT5",
+    "hap_q": "YCoCg_DXT5",
+    "hap_alpha_only": "A_RGTC1",
+    "hap_r": "RGBA_BPTC_UNORM",
+    "hap_hdr": "RGB_BPTC_UNSIGNED_FLOAT",
+    "hap_hdr_signed": "RGB_BPTC_SIGNED_FLOAT",
+}
+
+
+def _device_index(mesh: Mesh, axes) -> jnp.ndarray:
+    msizes = mesh.devices.shape
+    return sum(
+        jax.lax.axis_index(a) * int(np.prod(msizes[i + 1:], dtype=int))
+        for i, a in enumerate(axes)
+    )
+
+
+def _spatial_texture_encode(mesh, axes, blocks_stripe, enc, cc, cpd, S, g,
+                            fmt_id):
+    """Encode my stripe of one texture and assemble the replicated section.
+
+    blocks_stripe covers cpd chunks' blocks (tail slots past cc, present
+    when cc % D != 0, hold padding blocks whose streams are discarded).
+    Returns (frame, flen) — the full single-texture section, identical on
+    every device (the per-chunk stream gathers ride ICI).
+    """
+    from hap_tpu.kernels.layout import words_to_payload
+    from hap_tpu.pipeline.device_frame import _assemble_frame
+    from hap_tpu.snappy.device import snappy_encode_chunks
+
+    D = mesh.size
+    words = enc(blocks_stripe)
+    payload = words_to_payload(words)
+    comp, comp_len = snappy_encode_chunks(payload.reshape(cpd, S), S, g)
+    payload_all = jax.lax.all_gather(payload, axes, axis=0, tiled=True)
+    comp_all = jax.lax.all_gather(comp, axes, axis=0, tiled=True)
+    len_all = jax.lax.all_gather(comp_len, axes, axis=0, tiled=True)
+    if cpd * D != cc:  # drop padding chunk slots (gather order == global id)
+        payload_all = payload_all[: cc * S]
+        comp_all = comp_all[:cc]
+        len_all = len_all[:cc]
+    return _assemble_frame(payload_all, comp_all, len_all, cc, fmt_id, g)
+
+
+def _spatial_texture_decode(mesh, axes, frame, dec, cc, cpd, S, g, wpb,
+                            nbytes, fmt_id, top_hdr, dil, bound, payload_off):
+    """Decode my chunk range of one texture section from the replicated
+    frame. Tail slots past cc decode a harmless raw span and are cropped by
+    the caller. Returns (my decoded blocks, my ok)."""
+    from hap_tpu.constants import CHUNK_COMPRESSOR_SNAPPY, COMPRESSOR_COMPLEX, COMPRESSOR_NONE
+    from hap_tpu.pipeline.device_frame import _top_length_ok
+    from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+
+    d = _device_index(mesh, axes)
+    compressor = (frame[3].astype(jnp.int32) >> 4) & 0xF
+    is_raw_frame = compressor == COMPRESSOR_NONE
+    ok = ((frame[3].astype(jnp.int32) & 0xF) == fmt_id) & (
+        is_raw_frame | (compressor == COMPRESSOR_COMPLEX)
+    )
+    comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (cc,))
+    size_bytes = jax.lax.dynamic_slice(
+        frame, (top_hdr + 12 + cc,), (4 * cc,)
+    ).reshape(cc, 4).astype(jnp.int32)
+    sizes = (
+        size_bytes[:, 0] | (size_bytes[:, 1] << 8)
+        | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
+    )
+    sizes = jnp.minimum(sizes, bound)
+    positions = payload_off + jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sizes[:-1])]
+    )
+    ok &= _top_length_ok(frame, top_hdr, is_raw_frame, nbytes, dil,
+                         jnp.sum(sizes))
+    raw_positions = top_hdr + jnp.arange(cc, dtype=jnp.int32) * S
+    pos = jnp.where(is_raw_frame, raw_positions, positions)
+    csizes = jnp.where(is_raw_frame, S, sizes)
+    cis = jnp.where(is_raw_frame, False, comp_table == CHUNK_COMPRESSOR_SNAPPY)
+    D = mesh.size
+    if cpd * D != cc:
+        # pad chunk tables so every device slices cpd slots; tail slots
+        # decode a raw span at the payload start (garbage, cropped later)
+        padn = cpd * D - cc
+        pos = jnp.concatenate([pos, jnp.full(padn, top_hdr, jnp.int32)])
+        csizes = jnp.concatenate([csizes, jnp.full(padn, S, jnp.int32)])
+        cis = jnp.concatenate([cis, jnp.zeros(padn, bool)])
+    lo = d * cpd
+    my_pos = jax.lax.dynamic_slice(pos, (lo,), (cpd,))
+    my_sizes = jax.lax.dynamic_slice(csizes, (lo,), (cpd,))
+    my_is = jax.lax.dynamic_slice(cis, (lo,), (cpd,))
+    dec_words, chunk_ok = decode_streams_from_frame(
+        frame, my_pos, my_sizes, my_is, S, g, out_words=True
+    )
+    ok &= jnp.all(chunk_ok)
+    return dec(dec_words.reshape(-1, wpb)), ok
+
+
+def _spatial_layout(codec_fmt, height, width, chunk_count, D):
+    from hap_tpu.constants import CONSTANT_TO_FORMAT_ID, bytes_per_block
+    from hap_tpu.container.plan import dxt_payload_bytes, legalize_chunk_count
+    from hap_tpu.pipeline.device_frame import frame_layout
+
+    g = bytes_per_block(codec_fmt)
+    nbytes = dxt_payload_bytes(width, height, codec_fmt)
+    cc = legalize_chunk_count(nbytes, codec_fmt, chunk_count)
+    cpd = -(-cc // D)  # ceil: cc % D lifted via padding chunk slots
+    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(nbytes, cc, g)
+    return dict(g=g, nbytes=nbytes, cc=cc, cpd=cpd, S=S, dil=dil,
+                top_hdr=top_hdr, bound=bound, payload_off=payload_off,
+                fmax=fmax, fmt_id=CONSTANT_TO_FORMAT_ID[codec_fmt])
+
+
 def sharded_spatial_roundtrip(
     mesh: Mesh, height: int, width: int, codec: str = "hap_q",
     chunk_count: int = 64,
 ) -> Callable:
-    """ONE frame spatially sharded across all mesh devices, full pipeline.
+    """ONE frame spatially sharded across all mesh devices, full pipeline,
+    for EVERY codec family (incl. the multi-texture hap_q_alpha and the
+    BC7/BC6H families — the reference's chunk fan-out is format-agnostic,
+    hap.c:852-862).
 
     The 4x4-block stream is striped over the flattened mesh; chunk
-    boundaries align to stripes (each device owns a run of chunks,
-    hap.c:285-298 guarantees chunks divide the block stream). Each device
-    BCn-encodes and snappy-compresses its own chunks, the per-chunk streams
-    ride an ICI all_gather, and every device assembles the identical
-    container (bit-identical to the single-device encode_pipeline frame).
-    Decode mirrors it: each device decodes its chunk range straight out of
-    the replicated frame buffer and the decoded stripes form the image.
-    This is the 16K-frame configuration of BASELINE.md (config 5).
+    boundaries align to stripes (chunks divide the block stream,
+    hap.c:285-298). When the legalized chunk count does not divide the
+    device count, devices own ceil(cc/D) chunk slots and the tail slots
+    carry padding blocks (their streams are dropped before assembly; their
+    decodes are cropped) — the emitted container stays BIT-IDENTICAL to
+    the single-device encode_pipeline frame. Each device BCn-encodes and
+    snappy-compresses its own chunks, the per-chunk streams ride an ICI
+    all_gather, every device assembles the identical container, then
+    decodes its own chunk range back out of it. This is the 16K-frame
+    configuration of BASELINE.md (config 5).
 
     Returns jitted ``rt(blocks) -> (decoded_blocks, frame, frame_len, ok)``
-    with ``blocks`` (N, 16, C) uint8 striped over the mesh; use
-    kernels.layout.image_to_blocks / blocks_to_image around it.
+    with ``blocks`` (N_pad, 16, C) striped over the mesh, where
+    N_pad = rt.blocks_padded (pad with zeros; decoded blocks crop to the
+    real N). Use kernels.layout.image_to_blocks / blocks_to_image around
+    it. For hap_q_alpha, blocks are the RGBA 4x4 blocks; the color and
+    alpha sections share chunk geometry (same block count -> identical
+    legalized cc).
     """
-    from hap_tpu.constants import (
-        CHUNK_COMPRESSOR_SNAPPY,
-        COMPRESSOR_COMPLEX,
-        COMPRESSOR_NONE,
-        CONSTANT_TO_FORMAT_ID,
-        TextureFormat,
-        bytes_per_block,
-    )
-    from hap_tpu.container.plan import dxt_payload_bytes, legalize_chunk_count
-    from hap_tpu.kernels.layout import words_to_payload
-    from hap_tpu.pipeline.device_frame import _assemble_frame, frame_layout
-    from hap_tpu.snappy.device import snappy_encode_chunks
-    from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+    from hap_tpu.constants import TextureFormat
 
-    fmt = {
-        "hap": TextureFormat.RGB_DXT1,
-        "hap_alpha": TextureFormat.RGBA_DXT5,
-        "hap_q": TextureFormat.YCoCg_DXT5,
-        "hap_alpha_only": TextureFormat.A_RGTC1,
-    }[codec]
-    enc, dec, channels, wpb = _block_fns(codec)
-    g = bytes_per_block(fmt)
-    fmt_id = CONSTANT_TO_FORMAT_ID[fmt]
-    nbytes = dxt_payload_bytes(width, height, fmt)
-    cc = legalize_chunk_count(nbytes, fmt, chunk_count)
     D = mesh.size
-    assert cc % D == 0, f"chunk count {cc} must divide over {D} devices"
-    S, dil, top_hdr, bound, payload_off, fmax = frame_layout(nbytes, cc, g)
     axes = tuple(mesh.axis_names)
 
+    if codec == "hap_q_alpha":
+        return _sharded_spatial_multi(mesh, height, width, chunk_count)
+
+    fmt = getattr(TextureFormat, _SPATIAL_FMT[codec])
+    enc, dec, channels, wpb = _block_fns(codec)
+    L = _spatial_layout(fmt, height, width, chunk_count, D)
+    q = L["S"] // L["g"]  # blocks per chunk
+
     def local(blocks_stripe):
-        # Encode my stripe: blocks -> words -> payload -> my chunk streams.
-        words = enc(blocks_stripe)  # (N/D, wpb)
-        payload = words_to_payload(words)
-        comp, comp_len = snappy_encode_chunks(payload.reshape(cc // D, S), S, g)
-
-        # Assemble the container from the gathered streams (every device
-        # holds the identical frame; the gathers ride ICI).
-        payload_all = jax.lax.all_gather(payload, axes, axis=0, tiled=True)
-        comp_all = jax.lax.all_gather(comp, axes, axis=0, tiled=True)
-        len_all = jax.lax.all_gather(comp_len, axes, axis=0, tiled=True)
-        frame, flen, _ = _assemble_frame(payload_all, comp_all, len_all, cc, fmt_id, g)
-
-        # Decode my chunk range straight from the frame bytes.
-        msizes = mesh.devices.shape
-        d = sum(
-            jax.lax.axis_index(a) * int(np.prod(msizes[i + 1 :], dtype=int))
-            for i, a in enumerate(axes)
-        )
-        compressor = (frame[3].astype(jnp.int32) >> 4) & 0xF
-        is_raw_frame = compressor == COMPRESSOR_NONE
-        ok = ((frame[3].astype(jnp.int32) & 0xF) == fmt_id) & (
-            is_raw_frame | (compressor == COMPRESSOR_COMPLEX)
-        )
-        comp_table = jax.lax.dynamic_slice(frame, (top_hdr + 8,), (cc,))
-        size_bytes = jax.lax.dynamic_slice(
-            frame, (top_hdr + 12 + cc,), (4 * cc,)
-        ).reshape(cc, 4).astype(jnp.int32)
-        sizes = (
-            size_bytes[:, 0] | (size_bytes[:, 1] << 8)
-            | (size_bytes[:, 2] << 16) | (size_bytes[:, 3] << 24)
-        )
-        sizes = jnp.minimum(sizes, bound)
-        positions = payload_off + jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(sizes[:-1])]
-        )
-        from hap_tpu.pipeline.device_frame import _top_length_ok
-
-        ok &= _top_length_ok(frame, top_hdr, is_raw_frame, nbytes, dil, jnp.sum(sizes))
-        raw_positions = top_hdr + jnp.arange(cc, dtype=jnp.int32) * S
-        pos = jnp.where(is_raw_frame, raw_positions, positions)
-        csizes = jnp.where(is_raw_frame, S, sizes)
-        cis = jnp.where(
-            is_raw_frame, False, comp_table == CHUNK_COMPRESSOR_SNAPPY
-        )
-        lo = d * (cc // D)
-        my_pos = jax.lax.dynamic_slice(pos, (lo,), (cc // D,))
-        my_sizes = jax.lax.dynamic_slice(csizes, (lo,), (cc // D,))
-        my_is = jax.lax.dynamic_slice(cis, (lo,), (cc // D,))
-        dec_words, chunk_ok = decode_streams_from_frame(
-            frame, my_pos, my_sizes, my_is, S, g, out_words=True
-        )
-        ok &= jnp.all(chunk_ok)
-        # ok differs per device (each validated its own chunks): reduce to a
-        # genuinely replicated scalar before the P() out_spec.
+        frame, flen, _ = _spatial_texture_encode(
+            mesh, axes, blocks_stripe, enc, L["cc"], L["cpd"], L["S"],
+            L["g"], L["fmt_id"])
+        out_blocks, ok = _spatial_texture_decode(
+            mesh, axes, frame, dec, L["cc"], L["cpd"], L["S"], L["g"], wpb,
+            L["nbytes"], L["fmt_id"], L["top_hdr"], L["dil"], L["bound"],
+            L["payload_off"])
+        # ok differs per device (each validated its own chunks): reduce to
+        # a genuinely replicated scalar before the P() out_spec.
         ok = jax.lax.psum(jnp.logical_not(ok).astype(jnp.int32), axes) == 0
-        out_blocks = dec(dec_words.reshape(-1, wpb))
         return out_blocks, frame, flen, ok
 
     sharded = shard_map(
@@ -238,7 +319,89 @@ def sharded_spatial_roundtrip(
         out_specs=(P(axes), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def fn(blocks):
+        return jitted(blocks)
+
+    fn.blocks_padded = L["cpd"] * D * q
+    return fn
+
+
+def _sharded_spatial_multi(mesh: Mesh, height: int, width: int,
+                           chunk_count: int) -> Callable:
+    """hap_q_alpha spatially sharded: both texture sections are striped
+    over the same RGBA block stream (identical chunk geometry — the
+    legalization rule depends only on the block count), gathered, and
+    wrapped in the 0x0D container on every device (bit-identical to
+    encode_pipeline); decode mirrors per-texture."""
+    from hap_tpu.constants import TextureFormat, UINT24_MAX
+    from hap_tpu.container.plan import decode_instructions_length, dxt_payload_bytes
+    from hap_tpu.pipeline.device_pipeline import _wrap_multi_image, plan_chunks
+
+    D = mesh.size
+    axes = tuple(mesh.axis_names)
+    fmts = (TextureFormat.YCoCg_DXT5, TextureFormat.A_RGTC1)
+    enc1, dec1, _, wpb1 = _block_fns("hap_q")
+    enc2, dec2, _, wpb2 = _block_fns("hap_alpha_only")
+    L1 = _spatial_layout(fmts[0], height, width, chunk_count, D)
+    L2 = _spatial_layout(fmts[1], height, width, chunk_count, D)
+    assert L1["cc"] == L2["cc"] and L1["cpd"] == L2["cpd"]
+    q = L1["S"] // L1["g"]
+
+    # child-section offsets inside the 0x0D wrapper (static worst case,
+    # hap.c:562-576; mirrors _decode_multi_image)
+    worst = sum(
+        dxt_payload_bytes(width, height, f)
+        + decode_instructions_length(plan_chunks(height, width, f, chunk_count))
+        + 4
+        for f in fmts
+    )
+    top_hdr = 8 if worst > UINT24_MAX else 4
+
+    def local(blocks_stripe):
+        f1, l1, _ = _spatial_texture_encode(
+            mesh, axes, blocks_stripe[..., :3], enc1, L1["cc"], L1["cpd"],
+            L1["S"], L1["g"], L1["fmt_id"])
+        f2, l2, _ = _spatial_texture_encode(
+            mesh, axes, blocks_stripe[..., 3:4], enc2, L2["cc"], L2["cpd"],
+            L2["S"], L2["g"], L2["fmt_id"])
+        frame, flen = _wrap_multi_image(
+            height, width, fmts, chunk_count, f1, l1, f2, l2)
+
+        ok = frame[3] == 0x0D
+        child1 = jax.lax.dynamic_slice(
+            jnp.pad(frame, (0, L1["fmax"])), (jnp.int32(top_hdr),),
+            (L1["fmax"],))
+        b1, ok1 = _spatial_texture_decode(
+            mesh, axes, child1, dec1, L1["cc"], L1["cpd"], L1["S"], L1["g"],
+            wpb1, L1["nbytes"], L1["fmt_id"], L1["top_hdr"], L1["dil"],
+            L1["bound"], L1["payload_off"])
+        child2 = jax.lax.dynamic_slice(
+            jnp.pad(frame, (0, L2["fmax"])), (top_hdr + l1,), (L2["fmax"],))
+        b2, ok2 = _spatial_texture_decode(
+            mesh, axes, child2, dec2, L2["cc"], L2["cpd"], L2["S"], L2["g"],
+            wpb2, L2["nbytes"], L2["fmt_id"], L2["top_hdr"], L2["dil"],
+            L2["bound"], L2["payload_off"])
+        out_blocks = jnp.concatenate([b1, b2], axis=-1)
+        ok = ok & ok1 & ok2
+        ok = jax.lax.psum(jnp.logical_not(ok).astype(jnp.int32), axes) == 0
+        return out_blocks, frame, flen, ok
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axes),
+        out_specs=(P(axes), P(), P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def fn(blocks):
+        return jitted(blocks)
+
+    fn.blocks_padded = L1["cpd"] * D * q
+    return fn
 
 
 def make_train_step(mesh: Mesh, codec: str = "hap_q") -> Callable:

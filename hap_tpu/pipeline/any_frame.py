@@ -27,6 +27,7 @@ Two serving routes, both exposed by decode_frame_any:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -248,6 +249,190 @@ def decode_frame_any_device(
         return images[0], ok_all
     color, alpha = images
     return jnp.concatenate([color, alpha[..., None]], axis=-1), ok_all
+
+
+@dataclass
+class StagedForeignFrame:
+    """Host-compiled, device-staged decode inputs for one foreign frame.
+
+    Produced by ForeignGopSession.stage(); all jnp members are device
+    arrays (uploads are async — staging frame k+1 overlaps decoding frame
+    k). Profile = the bucketing key: frames with equal profiles decode in
+    the same jit programs with zero recompiles.
+    """
+
+    frame_len: int
+    spec: object  # codec spec (pipeline/codecs.HapCodec)
+    profile: tuple
+    ok_host: bool
+    frame_dev: jnp.ndarray  # (F_pad,) uint8
+    per_texture: list  # [(ops, n_ops, lit, out_len, comp_off, out_off, is_comp, S_max, total)]
+
+
+class ForeignGopSession:
+    """Batched serving loop for ARBITRARY legal Hap frames (hap.h:113-128
+    is the reference's player-facing surface; this is ours).
+
+    stage(): host parses the container, compiles op tables (multithreaded
+    C++, snappy/optable.py semantics) and starts async uploads.
+    decode_gop(): decodes N staged frames with ONE executor-kernel call
+    over all N x C chunk streams per texture, a batched stitch, lax.map'd
+    BCn decode, and a single host sync — amortizing this environment's
+    ~25 ms dispatch+fetch floor and any per-call overhead across the GOP.
+
+    Frames in one decode_gop() call must share codec + dimensions +
+    chunk profile (one video stream's GOP does); stage() records the
+    profile so callers can group mixed streams.
+    """
+
+    def __init__(self, height: int, width: int):
+        self.height = height
+        self.width = width
+
+    def stage(self, frame) -> StagedForeignFrame:
+        from hap_tpu.container.parse import parse_frame
+        from hap_tpu.pipeline.codecs import codec_for_frame
+        from hap_tpu.snappy.optable import pack_tables
+
+        frame = bytes(frame)
+        spec = codec_for_frame(frame)
+        plan = parse_frame(frame)
+        fpad = _ceil(max(len(frame), 1), 1 << 20)
+        buf = np.zeros(fpad, np.uint8)
+        buf[: len(frame)] = np.frombuffer(frame, np.uint8)
+        frame_dev = jnp.asarray(buf)
+        frame_np = np.frombuffer(frame, np.uint8)
+
+        per_texture = []
+        prof = [spec.name, fpad]
+        ok_host = True
+        for tex in plan.textures:
+            csizes = np.asarray(tex.chunk_compressed_sizes, np.int64)
+            usizes = np.asarray(tex.chunk_uncompressed_sizes, np.int64)
+            is_comp = (np.asarray(tex.chunk_compressors)
+                       == CHUNK_COMPRESSOR_SNAPPY)
+            S_max = int(usizes.max())
+            streams = []
+            exp = []
+            for i in range(len(csizes)):
+                if is_comp[i]:
+                    o = int(tex.chunk_compressed_offsets[i])
+                    streams.append(frame_np[o: o + int(csizes[i])].tobytes())
+                    exp.append(int(usizes[i]))
+                else:
+                    streams.append(b"")
+                    exp.append(0)
+            p = pack_tables(streams, exp)
+            ok_host &= bool((p.ok | ~is_comp).all())
+            # coarse buckets so same-stream frames share a profile; residual
+            # mismatch is healed by device-side repadding in decode_gop
+            nmax = _ceil(max(p.ops.shape[1], 64), 2048)
+            lmax = _ceil(max(p.lit.shape[1], 128), 8192)
+            ops = np.zeros((p.ops.shape[0], nmax, 2), np.int32)
+            ops[:, : p.ops.shape[1]] = p.ops
+            lit = np.zeros((p.lit.shape[0], lmax), np.uint8)
+            lit[:, : p.lit.shape[1]] = p.lit
+            uniform = bool(
+                is_comp.size > 0
+                and (usizes == S_max).all()
+                and (np.asarray(tex.chunk_uncompressed_offsets)
+                     == S_max * np.arange(len(usizes))).all()
+            )
+            per_texture.append((
+                jnp.asarray(ops), jnp.asarray(p.n_ops), jnp.asarray(lit),
+                jnp.asarray(p.out_len),
+                jnp.asarray(np.asarray(tex.chunk_compressed_offsets), _I32),
+                jnp.asarray(np.asarray(tex.chunk_uncompressed_offsets), _I32),
+                jnp.asarray(is_comp), S_max, int(tex.decoded_bytes),
+            ))
+            # nmax/lmax deliberately NOT in the profile: decode_gop repads
+            # device-side to the GOP max (cheap concat on device)
+            prof.extend([len(csizes), S_max, uniform,
+                         int(tex.decoded_bytes)])
+        return StagedForeignFrame(
+            frame_len=len(frame), spec=spec, profile=tuple(prof),
+            ok_host=ok_host, frame_dev=frame_dev, per_texture=per_texture)
+
+    def decode_gop(self, staged: list):
+        """[StagedForeignFrame] -> ((N,H,W,ch) device pixels, (N,) ok)."""
+        from hap_tpu.kernels.layout import pack_u8_to_u32
+        from hap_tpu.pipeline.codecs import _DECODERS
+
+        assert staged, "empty GOP"
+        prof = staged[0].profile
+        assert all(s.profile == prof for s in staged), (
+            "decode_gop requires a uniform frame profile; group by "
+            ".profile for mixed streams")
+        N = len(staged)
+        spec = staged[0].spec
+        frames = jnp.stack([s.frame_dev for s in staged])
+        images = []
+        for ti, fmt in enumerate(spec.texture_formats):
+            (ops0, n0, lit0, ol0, co0, uo0, ic0, S_max, total) = \
+                staged[0].per_texture[ti]
+            C = ops0.shape[0]
+            # heal residual bucket mismatches device-side (cheap pads)
+            nmax_g = max(s.per_texture[ti][0].shape[1] for s in staged)
+            lmax_g = max(s.per_texture[ti][2].shape[1] for s in staged)
+            ops = jnp.concatenate([
+                jnp.pad(s.per_texture[ti][0],
+                        ((0, 0), (0, nmax_g - s.per_texture[ti][0].shape[1]),
+                         (0, 0)))
+                for s in staged])
+            n_ops = jnp.concatenate([s.per_texture[ti][1] for s in staged])
+            lit = jnp.concatenate([
+                jnp.pad(s.per_texture[ti][2],
+                        ((0, 0), (0, lmax_g - s.per_texture[ti][2].shape[1])))
+                for s in staged])
+            out_len = jnp.concatenate([s.per_texture[ti][3] for s in staged])
+            comp_off = jnp.stack([s.per_texture[ti][4] for s in staged])
+            out_off = jnp.stack([s.per_texture[ti][5] for s in staged])
+            is_comp = jnp.stack([s.per_texture[ti][6] for s in staged])
+            payload = _gop_payload(
+                frames, ops, n_ops, lit, out_len, comp_off, out_off,
+                is_comp, S_max, total, C)
+            dec, wpb = _DECODERS[fmt]
+            H, W = self.height, self.width
+
+            def one(pay, dec=dec, wpb=wpb, H=H, W=W):
+                words = pack_u8_to_u32(pay.reshape(-1, 4)).reshape(-1, wpb)
+                return dec(words, H, W)
+
+            images.append(jax.lax.map(one, payload))
+
+        ok = jnp.asarray([s.ok_host for s in staged])
+        if not spec.multi_texture:
+            return images[0], ok
+        color, alpha = images
+        return jnp.concatenate([color, alpha[..., None]], axis=-1), ok
+
+
+@partial(jax.jit, static_argnames=("S_max", "total", "C"))
+def _gop_payload(frames, ops, n_ops, lit, out_len, comp_off, out_off,
+                 is_comp, S_max: int, total: int, C: int):
+    """All frames' chunk streams through ONE executor call + batched stitch.
+
+    frames (N, F) u8; ops (N*C, ...) concatenated chunk tables.
+    Returns (N, total) u8 payloads.
+    """
+    from hap_tpu.snappy.pallas_exec import execute_op_tables
+
+    N = frames.shape[0]
+    dec = execute_op_tables(ops, n_ops, lit, out_len, S_max)  # (N*C, S_max)
+    dec = dec.reshape(N, C, S_max)
+
+    def stitch_one(args):
+        frame, d, co, uo, ic = args
+        fpad = jnp.pad(frame, (0, S_max + 128))
+        return _stitch_payload(fpad, d, co, uo, ic, S_max, total)
+
+    return jax.lax.map(stitch_one, (frames, dec, comp_off, out_off, is_comp))
+
+
+def decode_frames_any_device(frames, height: int, width: int):
+    """Convenience: stage + decode one uniform GOP of foreign frames."""
+    sess = ForeignGopSession(height, width)
+    return sess.decode_gop([sess.stage(f) for f in frames])
 
 
 def decode_frame_any(

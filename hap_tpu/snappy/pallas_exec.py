@@ -52,8 +52,19 @@ def _interpret() -> bool:
 
 
 def _pick_tc(rows_per_chain: int) -> int:
-    """Chains per grid step under a ~10 MB VMEM budget (int32 lanes)."""
-    for tc in (8, 4, 2, 1):
+    """Chains per grid step under a ~10 MB VMEM budget (int32 lanes).
+
+    8 chains balance latency hiding vs register pressure: 16 measured
+    ~1.3x WORSE at 4K/64-chunk shapes (spilling). Env override
+    HAP_TPU_EXEC_TC for A/B runs."""
+    import os
+
+    override = os.environ.get("HAP_TPU_EXEC_TC")
+    choices = (8, 4, 2, 1)
+    if override:
+        choices = (int(override),) + tuple(
+            c for c in choices if c < int(override))
+    for tc in choices:
         if tc * rows_per_chain * 128 * 4 <= 10 * 2**20:
             return tc
     return 1

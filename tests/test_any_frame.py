@@ -137,3 +137,66 @@ def test_corrupt_stream_flags_not_ok(rng, route):
     frame[off + vlen] = 0x02 | (3 << 2)
     _, ok = decode_frame_any(bytes(frame), h, w, snappy=route)
     assert not ok
+
+
+def test_foreign_gop_session(rng):
+    """GOP-batched serving: N frames, one kernel call per texture, one
+    sync; bit-exact vs per-frame host decode; mixed snappy/raw chunks."""
+    from hap_tpu.pipeline.any_frame import ForeignGopSession
+
+    h, w = 48, 64
+    frames = []
+    wants = []
+    for k in range(4):
+        img = _image(np.random.default_rng(100 + k), h, w, 3)
+        frames.append(bytes(encode_frame(img, "hap_q", chunk_count=4)))
+        wants.append(decode_frame(frames[-1], h, w))
+    sess = ForeignGopSession(h, w)
+    staged = [sess.stage(f) for f in frames]
+    assert len({s.profile for s in staged}) == 1
+    pix, ok = sess.decode_gop(staged)
+    assert np.asarray(ok).all()
+    got = np.asarray(pix)
+    for k in range(4):
+        np.testing.assert_array_equal(got[k], wants[k])
+
+
+def test_foreign_gop_session_multi_texture(rng):
+    from hap_tpu.pipeline.any_frame import ForeignGopSession
+
+    h, w = 32, 32
+    frames = []
+    wants = []
+    for k in range(2):
+        img = _image(np.random.default_rng(7 + k), h, w, 4)
+        frames.append(bytes(encode_frame(img, "hap_q_alpha", chunk_count=2)))
+        wants.append(decode_frame(frames[-1], h, w))
+    sess = ForeignGopSession(h, w)
+    pix, ok = sess.decode_gop([sess.stage(f) for f in frames])
+    assert np.asarray(ok).all()
+    for k in range(2):
+        np.testing.assert_array_equal(np.asarray(pix)[k], wants[k])
+
+
+def test_foreign_gop_session_bad_frame_flags(rng):
+    from hap_tpu.pipeline.any_frame import ForeignGopSession
+    from hap_tpu.container.parse import parse_frame
+
+    h, w = 32, 32
+    img = _image(np.random.default_rng(3), h, w, 3)
+    good = bytes(encode_frame(img, "hap", chunk_count=2))
+    bad = bytearray(good)
+    tex = parse_frame(good).textures[0]
+    i = [k for k in range(tex.chunk_count)
+         if tex.chunk_compressors[k] == CHUNK_COMPRESSOR_SNAPPY][0]
+    off = int(tex.chunk_compressed_offsets[i])
+    vlen = 1
+    while bad[off + vlen - 1] >= 128:
+        vlen += 1
+    bad[off + vlen] = 0x02 | (3 << 2)  # copy2 at output position 0: illegal
+    sess = ForeignGopSession(h, w)
+    staged = [sess.stage(good), sess.stage(bytes(bad))]
+    assert staged[0].profile == staged[1].profile
+    pix, ok = sess.decode_gop(staged)
+    assert np.asarray(ok).tolist() == [True, False]
+    np.testing.assert_array_equal(np.asarray(pix)[0], decode_frame(good, h, w))

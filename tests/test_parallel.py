@@ -136,3 +136,69 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.block_until_ready(fn(*args))
     assert out.shape == (128 * 128, 4)
+
+
+@pytest.mark.parametrize("codec,ch,cc_req", [
+    ("hap", 3, 8),            # even: cc % D == 0
+    ("hap", 3, 6),            # uneven: 6 chunks over 8 devices (padded slots)
+    ("hap_alpha", 4, 5),      # uneven
+    ("hap_r", 4, 8),          # BC7 family
+    ("hap_q_alpha", 4, 4),    # multi-texture (two sections, shared geometry)
+])
+def test_sharded_spatial_all_families(rng, mesh8, codec, ch, cc_req):
+    """Every codec family stripes over the mesh and emits a container
+    bit-identical to the single-device pipeline, including chunk counts
+    that do not divide the device count (ceil-padded chunk slots)."""
+    from hap_tpu.parallel.sharded import sharded_spatial_roundtrip
+    from hap_tpu.pipeline.device_pipeline import encode_pipeline
+    from hap_tpu.kernels.layout import image_to_blocks
+
+    H, W = 16, 32
+    img = rng.integers(0, 256, (H, W, ch), dtype=np.uint8)
+    img[: H // 2] = 44  # compressible half
+    rt = sharded_spatial_roundtrip(mesh8, H, W, codec, chunk_count=cc_req)
+    blocks = np.asarray(jax.jit(image_to_blocks)(jnp.asarray(img)))
+    n_real = blocks.shape[0]
+    pad = rt.blocks_padded - n_real
+    blocks_p = np.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+    out_blocks, frame, flen, ok = rt(jnp.asarray(blocks_p))
+    assert bool(np.asarray(ok)), codec
+
+    ref_frame, ref_len = jax.jit(
+        lambda x: encode_pipeline(x, codec, cc_req))(jnp.asarray(img))
+    assert int(flen) == int(ref_len), codec
+    np.testing.assert_array_equal(
+        np.asarray(frame)[: int(flen)], np.asarray(ref_frame)[: int(ref_len)])
+    # decoded stripes (cropped past padding) == single-device decode
+    from hap_tpu.pipeline.device_pipeline import decode_pipeline
+
+    ref_img, ref_ok = jax.jit(
+        lambda f: decode_pipeline(f, H, W, codec, cc_req))(ref_frame)
+    assert bool(ref_ok)
+    from hap_tpu.kernels.layout import blocks_to_image
+
+    got = np.asarray(jax.jit(
+        lambda b: blocks_to_image(b, H, W))(out_blocks[:n_real]))
+    np.testing.assert_array_equal(got, np.asarray(ref_img))
+
+
+def test_sharded_spatial_hdr(rng, mesh8):
+    """BC6H (float pixels) through the spatial pipeline, bit-identical
+    container; values compare exactly (same kernels both sides)."""
+    from hap_tpu.parallel.sharded import sharded_spatial_roundtrip
+    from hap_tpu.pipeline.device_pipeline import encode_pipeline
+    from hap_tpu.kernels.layout import image_to_blocks
+
+    H, W = 16, 16
+    img = (rng.random((H, W, 3), dtype=np.float32) * 4.0).astype(np.float32)
+    rt = sharded_spatial_roundtrip(mesh8, H, W, "hap_hdr", chunk_count=4)
+    blocks = np.asarray(jax.jit(image_to_blocks)(jnp.asarray(img)))
+    pad = rt.blocks_padded - blocks.shape[0]
+    blocks_p = np.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+    out_blocks, frame, flen, ok = rt(jnp.asarray(blocks_p))
+    assert bool(np.asarray(ok))
+    ref_frame, ref_len = jax.jit(
+        lambda x: encode_pipeline(x, "hap_hdr", 4))(jnp.asarray(img))
+    assert int(flen) == int(ref_len)
+    np.testing.assert_array_equal(
+        np.asarray(frame)[: int(flen)], np.asarray(ref_frame)[: int(ref_len)])
