@@ -265,8 +265,8 @@ class StagedForeignFrame:
     spec: object  # codec spec (pipeline/codecs.HapCodec)
     profile: tuple
     ok_host: bool
-    frame_dev: jnp.ndarray  # (F_pad,) uint8
-    per_texture: list  # [(ops, n_ops, lit, out_len, comp_off, out_off, is_comp, S_max, total)]
+    frame_dev: Optional[jnp.ndarray]  # (F_pad,) uint8; None when uniform
+    per_texture: list  # [(ops, n_ops, lit, out_len, comp_off, out_off, is_comp, S_max, total, raw_rows)]
 
 
 class ForeignGopSession:
@@ -297,14 +297,30 @@ class ForeignGopSession:
         frame = bytes(frame)
         spec = codec_for_frame(frame)
         plan = parse_frame(frame)
-        fpad = _ceil(max(len(frame), 1), 1 << 20)
-        buf = np.zeros(fpad, np.uint8)
-        buf[: len(frame)] = np.frombuffer(frame, np.uint8)
-        frame_dev = jnp.asarray(buf)
         frame_np = np.frombuffer(frame, np.uint8)
 
+        # legalized frames have uniform chunk geometry (usizes all S_max,
+        # offsets k*S_max — hap.c:285-298): the device needs NO stitch and
+        # no frame bytes, only dense per-chunk rows. Non-uniform foreign
+        # layouts keep the frame upload + general scan stitch.
+        all_uniform = all(
+            bool((np.asarray(t.chunk_uncompressed_sizes)
+                  == int(np.asarray(t.chunk_uncompressed_sizes).max())).all()
+                 and (np.asarray(t.chunk_uncompressed_offsets)
+                      == int(np.asarray(t.chunk_uncompressed_sizes).max())
+                      * np.arange(t.chunk_count)).all())
+            for t in plan.textures
+        )
+        frame_dev = None
+        fpad = 0
+        if not all_uniform:
+            fpad = _ceil(max(len(frame), 1), 1 << 20)
+            buf = np.zeros(fpad, np.uint8)
+            buf[: len(frame)] = frame_np
+            frame_dev = jnp.asarray(buf)
+
         per_texture = []
-        prof = [spec.name, fpad]
+        prof = [spec.name, fpad, all_uniform]
         ok_host = True
         for tex in plan.textures:
             csizes = np.asarray(tex.chunk_compressed_sizes, np.int64)
@@ -332,94 +348,132 @@ class ForeignGopSession:
             ops[:, : p.ops.shape[1]] = p.ops
             lit = np.zeros((p.lit.shape[0], lmax), np.uint8)
             lit[:, : p.lit.shape[1]] = p.lit
-            uniform = bool(
-                is_comp.size > 0
-                and (usizes == S_max).all()
-                and (np.asarray(tex.chunk_uncompressed_offsets)
-                     == S_max * np.arange(len(usizes))).all()
-            )
+            # host pre-aligns raw-chunk bytes into dense rows (a memcpy;
+            # the device then does a pure elementwise where instead of
+            # byte-offset dynamic slices, which lower catastrophically)
+            raw_rows = None
+            if all_uniform and not is_comp.all():
+                rr = np.zeros((len(csizes), S_max), np.uint8)
+                for i in range(len(csizes)):
+                    if not is_comp[i]:
+                        o = int(tex.chunk_compressed_offsets[i])
+                        n = int(csizes[i])
+                        rr[i, :n] = frame_np[o: o + n]
+                raw_rows = jnp.asarray(rr)
             per_texture.append((
                 jnp.asarray(ops), jnp.asarray(p.n_ops), jnp.asarray(lit),
                 jnp.asarray(p.out_len),
                 jnp.asarray(np.asarray(tex.chunk_compressed_offsets), _I32),
                 jnp.asarray(np.asarray(tex.chunk_uncompressed_offsets), _I32),
                 jnp.asarray(is_comp), S_max, int(tex.decoded_bytes),
+                raw_rows,
             ))
             # nmax/lmax deliberately NOT in the profile: decode_gop repads
             # device-side to the GOP max (cheap concat on device)
-            prof.extend([len(csizes), S_max, uniform,
+            prof.extend([len(csizes), S_max, raw_rows is not None,
                          int(tex.decoded_bytes)])
         return StagedForeignFrame(
             frame_len=len(frame), spec=spec, profile=tuple(prof),
             ok_host=ok_host, frame_dev=frame_dev, per_texture=per_texture)
 
     def decode_gop(self, staged: list):
-        """[StagedForeignFrame] -> ((N,H,W,ch) device pixels, (N,) ok)."""
-        from hap_tpu.kernels.layout import pack_u8_to_u32
-        from hap_tpu.pipeline.codecs import _DECODERS
+        """[StagedForeignFrame] -> ((N,H,W,ch) device pixels, (N,) ok).
 
+        ONE device dispatch for the whole GOP (table concat/pad, executor,
+        payload fold, and BCn decode fused into a single jit program —
+        every extra dispatch costs a tunnel enqueue on this environment).
+        """
         assert staged, "empty GOP"
         prof = staged[0].profile
         assert all(s.profile == prof for s in staged), (
             "decode_gop requires a uniform frame profile; group by "
             ".profile for mixed streams")
-        N = len(staged)
         spec = staged[0].spec
-        frames = jnp.stack([s.frame_dev for s in staged])
-        images = []
+        frames = (tuple(s.frame_dev for s in staged)
+                  if staged[0].frame_dev is not None else None)
+        per_tex = []
+        statics = []
         for ti, fmt in enumerate(spec.texture_formats):
-            (ops0, n0, lit0, ol0, co0, uo0, ic0, S_max, total) = \
+            (_o, _n, _l, _ol, _co, _uo, _ic, S_max, total, rr0) = \
                 staged[0].per_texture[ti]
-            C = ops0.shape[0]
-            # heal residual bucket mismatches device-side (cheap pads)
-            nmax_g = max(s.per_texture[ti][0].shape[1] for s in staged)
-            lmax_g = max(s.per_texture[ti][2].shape[1] for s in staged)
-            ops = jnp.concatenate([
-                jnp.pad(s.per_texture[ti][0],
-                        ((0, 0), (0, nmax_g - s.per_texture[ti][0].shape[1]),
-                         (0, 0)))
-                for s in staged])
-            n_ops = jnp.concatenate([s.per_texture[ti][1] for s in staged])
-            lit = jnp.concatenate([
-                jnp.pad(s.per_texture[ti][2],
-                        ((0, 0), (0, lmax_g - s.per_texture[ti][2].shape[1])))
-                for s in staged])
-            out_len = jnp.concatenate([s.per_texture[ti][3] for s in staged])
-            comp_off = jnp.stack([s.per_texture[ti][4] for s in staged])
-            out_off = jnp.stack([s.per_texture[ti][5] for s in staged])
-            is_comp = jnp.stack([s.per_texture[ti][6] for s in staged])
-            payload = _gop_payload(
-                frames, ops, n_ops, lit, out_len, comp_off, out_off,
-                is_comp, S_max, total, C)
-            dec, wpb = _DECODERS[fmt]
-            H, W = self.height, self.width
-
-            def one(pay, dec=dec, wpb=wpb, H=H, W=W):
-                words = pack_u8_to_u32(pay.reshape(-1, 4)).reshape(-1, wpb)
-                return dec(words, H, W)
-
-            images.append(jax.lax.map(one, payload))
-
+            per_tex.append(tuple(
+                tuple(s.per_texture[ti][k] for s in staged)
+                for k in (0, 1, 2, 3, 4, 5, 6)
+            ) + ((tuple(s.per_texture[ti][9] for s in staged)
+                  if rr0 is not None else None),))
+            statics.append((S_max, total, _o.shape[0]))
+        pixels = _gop_decode_fused(
+            frames, tuple(per_tex),
+            tuple(statics), tuple(spec.texture_formats),
+            self.height, self.width, spec.multi_texture)
         ok = jnp.asarray([s.ok_host for s in staged])
-        if not spec.multi_texture:
-            return images[0], ok
-        color, alpha = images
-        return jnp.concatenate([color, alpha[..., None]], axis=-1), ok
+        return pixels, ok
+
+
+@partial(jax.jit, static_argnames=("statics", "fmts", "H", "W", "multi"))
+def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
+    from hap_tpu.kernels.layout import payload_to_words
+    from hap_tpu.pipeline.codecs import _DECODERS
+
+    images = []
+    for ti, fmt in enumerate(fmts):
+        S_max, total, C = statics[ti]
+        ops_l, n_l, lit_l, ol_l, co_l, uo_l, ic_l, rr_l = per_tex[ti]
+        nmax_g = max(o.shape[1] for o in ops_l)
+        lmax_g = max(l.shape[1] for l in lit_l)
+        ops = jnp.concatenate([
+            jnp.pad(o, ((0, 0), (0, nmax_g - o.shape[1]), (0, 0)))
+            for o in ops_l])
+        n_ops = jnp.concatenate(n_l)
+        lit = jnp.concatenate([
+            jnp.pad(l, ((0, 0), (0, lmax_g - l.shape[1]))) for l in lit_l])
+        out_len = jnp.concatenate(ol_l)
+        comp_off = jnp.stack(co_l)
+        out_off = jnp.stack(uo_l)
+        is_comp = jnp.stack(ic_l)
+        raw_rows = jnp.stack(rr_l) if rr_l is not None else None
+        fstack = jnp.stack(frames) if frames is not None else None
+        payload = _gop_payload(
+            fstack, ops, n_ops, lit, out_len, comp_off, out_off,
+            is_comp, raw_rows, S_max, total, C)
+        dec, wpb = _DECODERS[fmt]
+
+        def one(pay, dec=dec, wpb=wpb):
+            # lane-safe (m, 128, 4) bitcast — the (k, 4) form tiles each
+            # 4-byte row onto an (8, 128) vreg (32x padding; layout.py)
+            words = payload_to_words(pay).reshape(-1, wpb)
+            return dec(words, H, W)
+
+        images.append(jax.lax.map(one, payload))
+
+    if not multi:
+        return images[0]
+    color, alpha = images
+    return jnp.concatenate([color, alpha[..., None]], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("S_max", "total", "C"))
 def _gop_payload(frames, ops, n_ops, lit, out_len, comp_off, out_off,
-                 is_comp, S_max: int, total: int, C: int):
-    """All frames' chunk streams through ONE executor call + batched stitch.
+                 is_comp, raw_rows, S_max: int, total: int, C: int):
+    """All frames' chunk streams through ONE executor call + payload fold.
 
-    frames (N, F) u8; ops (N*C, ...) concatenated chunk tables.
-    Returns (N, total) u8 payloads.
+    ops (N*C, ...) concatenated chunk tables. Returns (N, total) u8.
+    Three payload shapes (host-chosen at stage time):
+    * uniform, all-snappy (frames is None, raw_rows None): the decoded
+      rows ARE the payload — pure reshape;
+    * uniform with raw chunks (raw_rows (N, C, S_max), host-prealigned):
+      one elementwise where — no on-device byte shuffling at all;
+    * non-uniform foreign layout (frames (N, F)): general scan stitch.
     """
     from hap_tpu.snappy.pallas_exec import execute_op_tables
 
-    N = frames.shape[0]
+    N = n_ops.shape[0] // C
     dec = execute_op_tables(ops, n_ops, lit, out_len, S_max)  # (N*C, S_max)
     dec = dec.reshape(N, C, S_max)
+    if frames is None:
+        if raw_rows is not None:
+            dec = jnp.where(is_comp[:, :, None], dec, raw_rows)
+        return dec.reshape(N, C * S_max)[:, :total]
 
     def stitch_one(args):
         frame, d, co, uo, ic = args

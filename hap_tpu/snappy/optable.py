@@ -183,9 +183,50 @@ def build_op_table(stream: bytes, expected_len: Optional[int] = None
     )
 
 
+def pack_fields(ops_logical: np.ndarray, nout: int) -> np.ndarray:
+    """Logical pieces [(m|end<<8, off)] -> executor field words.
+
+    Every per-stage scalar the kernel would otherwise derive serially
+    (output position, literal cursor, source row, roll shift, near/far
+    classification) is a pure function of the piece prefix — so it is
+    computed HERE, vectorized, and the device stage machine shrinks to
+    two counters (piece index, block index). Encoding:
+
+      w0 = pa | pe<<7 | end<<15 | near<<16 | shift<<17   (25 bits)
+      w1 = source row (far/literal; near reads registers)
+
+    ``nout`` must equal ceil(S_max/128) of the executor call — the
+    literal plane lives at rows [nout, ...).
+    """
+    if ops_logical.size == 0:
+        return ops_logical.reshape(-1, 2).astype(np.int32)
+    w0 = ops_logical[:, 0].astype(np.int64)
+    off = ops_logical[:, 1].astype(np.int64)
+    m = w0 & 0xFF
+    end = w0 >> 8
+    outpos = np.concatenate(([0], np.cumsum(m[:-1])))
+    pa = outpos & 127
+    pe = pa + m
+    is_lit = off == 0
+    lc = np.concatenate(([0], np.cumsum((m * is_lit)[:-1])))
+    s = np.where(is_lit, nout * 128 + lc, outpos - off)
+    near = (~is_lit) & (off <= pa + 128)
+    srcl = np.where(near, 128 + pa - off, s & 127)
+    shift = (pa - srcl) % 256
+    row0 = np.where(near, 0, s >> 7)
+    packed = np.empty_like(ops_logical)
+    packed[:, 0] = (pa | (pe << 7) | (end << 15) | (near << 16)
+                    | (shift << 17)).astype(np.int32)
+    packed[:, 1] = row0.astype(np.int32)
+    return packed
+
+
 @dataclass
 class PackedTables:
-    """Fixed-shape arrays for a set of streams (kernel inputs)."""
+    """Fixed-shape arrays for a set of streams (kernel inputs).
+
+    ops rows hold pack_fields() words (device form); the logical
+    [(m|end<<8, off)] form is build_op_table's output."""
 
     ops: np.ndarray  # (C, N_max, 2) int32, zero-padded
     n_ops: np.ndarray  # (C,) int32
@@ -193,6 +234,7 @@ class PackedTables:
     n_lit: np.ndarray  # (C,) int32
     out_len: np.ndarray  # (C,) int32
     ok: np.ndarray  # (C,) bool — host verdict; failed rows have 0 ops
+    S_max: int  # the executor S_max these tables were packed for
 
 
 def pack_tables(streams: Sequence[bytes],
@@ -210,8 +252,14 @@ def pack_tables(streams: Sequence[bytes],
 
             ops, n_ops, lit, n_lit, out_len, ok = native.snappy_optable_batch(
                 streams, expected_lens)
+            S_max = max(int(out_len.max(initial=1)), 1)
+            nout = -(-S_max // 128)
+            for i in range(ops.shape[0]):
+                k = int(n_ops[i])
+                if k:
+                    ops[i, :k] = pack_fields(ops[i, :k], nout)
             return PackedTables(ops=ops, n_ops=n_ops, lit=lit, n_lit=n_lit,
-                                out_len=out_len, ok=ok)
+                                out_len=out_len, ok=ok, S_max=S_max)
         except Exception:
             pass  # toolchain unavailable -> Python reference below
     tables = []
@@ -221,6 +269,8 @@ def pack_tables(streams: Sequence[bytes],
     C = len(streams)
     n_max = max([t.ops.shape[0] for t in tables if t is not None] + [1])
     l_max = max([t.lit.shape[0] for t in tables if t is not None] + [1])
+    S_max = max([t.out_len for t in tables if t is not None] + [1])
+    nout = -(-S_max // 128)
     ops = np.zeros((C, n_max, 2), np.int32)
     lit = np.zeros((C, l_max), np.uint8)
     n_ops = np.zeros(C, np.int32)
@@ -232,12 +282,12 @@ def pack_tables(streams: Sequence[bytes],
             continue
         ok[i] = True
         n_ops[i] = t.ops.shape[0]
-        ops[i, : t.ops.shape[0]] = t.ops
+        ops[i, : t.ops.shape[0]] = pack_fields(t.ops, nout)
         n_lit[i] = t.lit.shape[0]
         lit[i, : t.lit.shape[0]] = t.lit
         out_len[i] = t.out_len
     return PackedTables(ops=ops, n_ops=n_ops, lit=lit, n_lit=n_lit,
-                        out_len=out_len, ok=ok)
+                        out_len=out_len, ok=ok, S_max=S_max)
 
 
 def execute_table_host(t: OpTable) -> bytes:

@@ -70,8 +70,18 @@ def _pick_tc(rows_per_chain: int) -> int:
     return 1
 
 
+def execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages=None):
+    """Resolve n_stages (env HAP_TPU_EXEC_STAGES for A/B runs; measured
+    default 4) OUTSIDE jit so it keys the cache, then dispatch."""
+    if n_stages is None:
+        import os
+
+        n_stages = int(os.environ.get("HAP_TPU_EXEC_STAGES", "4"))
+    return _execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages)
+
+
 @functools.partial(jax.jit, static_argnames=("S_max", "n_stages"))
-def execute_op_tables(
+def _execute_op_tables(
     ops: jnp.ndarray,  # (C, NOPS, 2) int32 [m|end<<8, off]; off==0 -> literal
     n_ops: jnp.ndarray,  # (C,) int32
     lit: jnp.ndarray,  # (C, L) uint8 literal planes
@@ -125,7 +135,10 @@ def execute_op_tables(
 
     def kernel(meta_ref, ops_ref, lit_ref, out_ref):
         lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
-        nops_j = [meta_ref[j, 0] for j in range(tc)]
+        # meta is passed UNBLOCKED (a (tc, 2) SMEM block fails Mosaic's
+        # block-shape rule when tc < 8); index by grid position instead.
+        base = pl.program_id(0) * tc
+        nops_j = [meta_ref[base + j, 0] for j in range(tc)]
 
         # Copy literal planes into the out tail rows: unifies literal and
         # far-copy sources into one "stream from out_ref rows" path.
@@ -136,69 +149,72 @@ def execute_op_tables(
 
         jax.lax.fori_loop(0, nlit, litcopy, 0)
 
-        def chain_iter(j, opi, outpos, lc, V, P1):
-            # one batched piece-param fetch per iteration: 2 loads + one
-            # dynamic roll + 2P static-lane extracts
-            flat = opi * 2
-            row = jnp.clip(flat // 128, 0, nops_rows - 2)
-            W = jnp.concatenate(
-                [ops_ref[j, row, :].reshape(1, 128),
-                 ops_ref[j, row + 1, :].reshape(1, 128)], axis=1)
-            W = pltpu.roll(W, (256 - (flat - row * 128)) % 256, 1)
-
-            for p in range(P):
-                w0 = W[0, 2 * p]
-                off = W[0, 2 * p + 1]
-                live = (opi + p < nops_j[j]).astype(_I32)
-                m = (w0 & 255) * live
-                end = (w0 >> 8) * live
-                pa = outpos & 127
-                is_lit = off == 0
-                s = jnp.where(is_lit, nout * 128 + lc, outpos - off)
-                s = jnp.clip(s, 0, ntot * 128 - 1)
-                near = (~is_lit) & (off <= pa + 128)
-                row0 = jnp.clip(s // 128, 0, ntot - 1)
-                row1 = jnp.minimum(row0 + 1, ntot - 1)
-                wf = jnp.concatenate(
-                    [out_ref[j, row0, :].reshape(1, 128),
-                     out_ref[j, row1, :].reshape(1, 128)], axis=1)
-                wn = jnp.concatenate([P1, V], axis=1)
-                w = jnp.where(near, wn, wf)
-                srcl = jnp.where(near, 128 + pa - off, s & 127)
-                srcl = jnp.clip(srcl, 0, 255)
-                placed = pltpu.roll(w, (pa - srcl) % 256, 1)[:, :128]
-                V = jnp.where(
-                    (lane128 >= pa) & (lane128 < pa + m), placed, V)
-                # Unconditional flush of the block this piece lives in; a
-                # partial row is legally rewritten when the block
-                # completes. Inert stages (m == 0) target the last lit
-                # row — theirs, and their chain is finished.
-                rowd = jnp.where(
-                    m > 0, jnp.clip((outpos + m - 1) // 128, 0, ntot - 1),
-                    ntot - 1)
-                out_ref[j, rowd, :] = V[0]
-                P1 = jnp.where(end > 0, V, P1)
-                V = jnp.where(end > 0, jnp.zeros((1, 128), _I32), V)
-                outpos = outpos + m
-                lc = lc + jnp.where(is_lit, m, 0)
-            return opi + P, outpos, lc, V, P1
-
         def cond(c):
             r = c[0] < nops_j[0]
             for j in range(1, tc):
-                r = r | (c[5 * j] < nops_j[j])
+                r = r | (c[4 * j] < nops_j[j])
             return r
 
         def body(c):
+            # STAGE-MAJOR emission: all chains' piece-param fetches first,
+            # then stage p of every chain together — consecutive
+            # instructions belong to independent chains, so Mosaic's
+            # scheduler can hide each chain's serial roll/select latency
+            # behind its neighbors' (chain-major measured ~25% slower).
+            st = [list(c[4 * j: 4 * j + 4]) for j in range(tc)]
+            Ws = []
+            for j in range(tc):
+                opi = st[j][0]
+                flat = opi * 2
+                row = jnp.clip(flat // 128, 0, nops_rows - 2)
+                W = jnp.concatenate(
+                    [ops_ref[j, row, :].reshape(1, 128),
+                     ops_ref[j, row + 1, :].reshape(1, 128)], axis=1)
+                Ws.append(pltpu.roll(W, (256 - (flat - row * 128)) % 256, 1))
+
+            for p in range(P):
+                for j in range(tc):
+                    opi, bcur, V, P1 = st[j]
+                    # host-packed fields (optable.pack_fields): every
+                    # per-stage scalar is precomputed, so the stage is
+                    # pure extract -> load -> roll -> select with only
+                    # two counters of chain state
+                    w0 = Ws[j][0, 2 * p]
+                    row0 = Ws[j][0, 2 * p + 1]
+                    live = (opi + p < nops_j[j]).astype(_I32)
+                    pa = w0 & 127
+                    pe = ((w0 >> 7) & 255) * live
+                    end = ((w0 >> 15) & 1) * live
+                    near = (w0 >> 16) & 1
+                    shift = (w0 >> 17) & 255
+                    row0 = jnp.clip(row0, 0, ntot - 1)
+                    row1 = jnp.minimum(row0 + 1, ntot - 1)
+                    wf = jnp.concatenate(
+                        [out_ref[j, row0, :].reshape(1, 128),
+                         out_ref[j, row1, :].reshape(1, 128)], axis=1)
+                    wn = jnp.concatenate([P1, V], axis=1)
+                    w = jnp.where(near > 0, wn, wf)
+                    placed = pltpu.roll(w, shift, 1)[:, :128]
+                    V = jnp.where(
+                        (lane128 >= pa) & (lane128 < pe), placed, V)
+                    # Unconditional flush of the current block; a partial
+                    # row is legally rewritten when the block completes.
+                    # Finished chains rewrite their (final) block with an
+                    # empty merge — harmless.
+                    out_ref[j, jnp.clip(bcur, 0, ntot - 1), :] = V[0]
+                    P1 = jnp.where(end > 0, V, P1)
+                    V = jnp.where(end > 0, jnp.zeros((1, 128), _I32), V)
+                    st[j] = [opi, bcur + end, V, P1]
             out = []
             for j in range(tc):
-                out.extend(chain_iter(j, *c[5 * j: 5 * j + 5]))
+                st[j][0] = st[j][0] + P
+                out.extend(st[j])
             return tuple(out)
 
         carry = []
         for j in range(tc):
             carry.extend([
-                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0),
                 jnp.zeros((1, 128), _I32), jnp.zeros((1, 128), _I32),
             ])
         jax.lax.while_loop(cond, body, tuple(carry))
@@ -207,7 +223,7 @@ def execute_op_tables(
         kernel,
         grid=(C // tc,),
         in_specs=[
-            pl.BlockSpec((tc, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, nops_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, nlit, 128), lambda i: (i, 0, 0),

@@ -200,3 +200,34 @@ def test_foreign_gop_session_bad_frame_flags(rng):
     pix, ok = sess.decode_gop(staged)
     assert np.asarray(ok).tolist() == [True, False]
     np.testing.assert_array_equal(np.asarray(pix)[0], decode_frame(good, h, w))
+
+
+def test_foreign_gop_session_non_uniform_layout(rng):
+    """Offset-table frames with non-uniform chunk sizes route through the
+    frame-upload + scan-stitch path of the session."""
+    from tests.test_container import _build_complex_frame_with_offsets
+    from hap_tpu.pipeline.codecs import _decode_texture_python
+    from hap_tpu.pipeline.any_frame import ForeignGopSession
+
+    h, w = 32, 32
+    frames = []
+    wants = []
+    for k in range(2):
+        img = _image(np.random.default_rng(40 + k), h, w, 3)
+        ref = encode_frame(img, "hap", chunk_count=1)
+        payload = _decode_texture_python(bytes(ref), 0)
+        cut = 3 * len(payload) // 8  # uneven split -> non-uniform usizes
+        chunks = [
+            {"snappy": True, "payload": pyref.compress(payload[:cut])},
+            {"snappy": False, "payload": payload[cut:]},
+        ]
+        f = _build_complex_frame_with_offsets(chunks, fmt_id=0xB, shuffle=True)
+        frames.append(f)
+        wants.append(decode_frame(f, h, w))
+    sess = ForeignGopSession(h, w)
+    staged = [sess.stage(f) for f in frames]
+    assert staged[0].frame_dev is not None  # non-uniform -> frame path
+    pix, ok = sess.decode_gop(staged)
+    assert np.asarray(ok).all()
+    for k in range(2):
+        np.testing.assert_array_equal(np.asarray(pix)[k], wants[k])

@@ -28,12 +28,42 @@ def main():
     from hap_tpu.parallel.mesh import make_mesh, mesh_shape_for
     from hap_tpu.parallel.sharded import make_train_step, sharded_frame_roundtrip
 
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from hap_tpu.parallel.sharded import _block_fns
+
     devices = jax.devices()
     rng = np.random.default_rng(0)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     frames_per_dev = 2
     nblocks = 32 * 16  # 512 blocks/frame (128x64 frame)
     H, W = 64, 128  # full-pipeline frame size (keep CPU-mesh runs fast)
+
+    def make_step_nocomm(mesh):
+        """Identical per-device work to make_train_step, collectives
+        REMOVED (sse stays local; words stay sharded). The delta against
+        the real step isolates all_gather+psum overhead from compute —
+        virtual CPU devices share 2 physical cores, so the with-comm vs
+        without-comm ratio is the only meaningful scaling statement a
+        virtual mesh can make."""
+        enc, dec, _, wpb = _block_fns("hap_q")
+
+        def local_step(local_blocks):
+            b, nn = local_blocks.shape[0], local_blocks.shape[1]
+            flat = local_blocks.reshape((b * nn,) + local_blocks.shape[2:])
+            words = enc(flat)
+            decoded = dec(words)
+            err = decoded.astype(jnp.float32) - flat.astype(jnp.float32)
+            return words.reshape(b, nn, wpb), jnp.sum(err * err)[None, None]
+
+        return jax.jit(shard_map(
+            local_step, mesh=mesh, in_specs=P("data", "space"),
+            out_specs=(P("data", "space"), P("data", "space")),
+            check_vma=False,
+        ))
 
     results = []
     for n in counts:
@@ -46,13 +76,28 @@ def main():
         )
         words, sse = step(blocks)
         jax.block_until_ready(words)
-        t0 = time.time()
-        iters = 5
+        iters = 11
+        ts = []
         for _ in range(iters):
+            t0 = time.time()
             words, sse = step(blocks)
             float(sse)  # host sync
-        dt = (time.time() - t0) / iters
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[iters // 2]
         fps = batch / dt
+
+        # A/B: same work without collectives -> communication overhead %.
+        step_nc = make_step_nocomm(mesh)
+        wnc, ssenc = step_nc(blocks)
+        jax.block_until_ready(wnc)
+        ts = []
+        for _ in range(iters):
+            t0 = time.time()
+            wnc, ssenc = step_nc(blocks)
+            jax.block_until_ready(ssenc)
+            ts.append(time.time() - t0)
+        dt_nc = sorted(ts)[iters // 2]
+        comm_overhead_pct = max(0.0, (dt - dt_nc) / dt * 100.0)
 
         # Full pipeline (pixels -> container bytes -> pixels), pure frame DP
         # over a flat n-device mesh.
@@ -65,25 +110,45 @@ def main():
         out, flen, ok = rt(imgs)
         jax.block_until_ready(out)
         assert np.asarray(ok).all()
-        t0 = time.time()
+        ts = []
         for _ in range(iters):
+            t0 = time.time()
             out, flen, ok = rt(imgs)
             float(jnp.sum(flen))  # host sync
-        fdt = (time.time() - t0) / iters
+            ts.append(time.time() - t0)
+        fdt = sorted(ts)[iters // 2]
         ffps = fbatch / fdt
 
         results.append({
             "devices": n, "mesh": [dp, sp],
             "frames_per_s": round(fps, 1),
+            "frames_per_s_nocomm": round(batch / dt_nc, 1),
+            "comm_overhead_pct": round(comm_overhead_pct, 1),
+            "dispatches_per_step": 1,
             "full_pipeline_frames_per_s": round(ffps, 1),
         })
         print(json.dumps(results[-1]), flush=True)
 
+    summary = None
     if len(results) > 1:
         speedup = results[-1]["frames_per_s"] / results[0]["frames_per_s"]
-        print(json.dumps({"scaling": f"{results[0]['devices']}->"
-                          f"{results[-1]['devices']} devices",
-                          "speedup": round(speedup, 2)}), flush=True)
+        summary = {
+            "scaling": f"{results[0]['devices']}->"
+                       f"{results[-1]['devices']} devices",
+            "speedup": round(speedup, 2),
+            "interpretation": (
+                "virtual CPU devices share physical cores, so frames/s "
+                "cannot scale; the meaningful column is comm_overhead_pct "
+                "(all_gather+psum cost vs identical collective-free work) "
+                "— real-chip speedup = N x (1 - overhead), pending "
+                "multi-chip hardware"),
+        }
+        print(json.dumps(summary), flush=True)
+
+    out_path = os.environ.get("SCALING_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"rows": results, "summary": summary}, f, indent=1)
 
 
 if __name__ == "__main__":
