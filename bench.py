@@ -88,11 +88,29 @@ def main():
         cs_host = float(cs)  # host sync every dispatch
         times.append(time.time() - t0)
     times = sorted(times)
-    dt = times[ITERS // 2] / BATCH  # median: tunnel sync jitters
+    dt_sync = times[ITERS // 2] / BATCH  # median: tunnel sync jitters
+    log(f"on-device roundtrip (sync/GOP): {dt_sync*1000:.2f} ms/frame -> "
+        f"{H*W/dt_sync/1e6:.1f} Mpix/s "
+        f"(dispatch times {[f'{t*1000:.0f}' for t in times]} ms)")
+
+    # Steady-state serving: double-buffered GOP dispatches — enqueue GOP
+    # k+1 before fetching GOP k's fold, hiding the ~25-30 ms dispatch+
+    # fetch floor of this tunnel exactly as a player's serving loop would.
+    prev = gop_roundtrip(batch)
+    ptimes = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        cur = gop_roundtrip(batch)
+        _ = float(prev[3])
+        prev = cur
+        ptimes.append(time.time() - t0)
+    _ = float(prev[3])
+    ptimes = sorted(ptimes)
+    dt = ptimes[ITERS // 2] / BATCH
     mpix = H * W / dt / 1e6
-    log(f"on-device roundtrip: {dt*1000:.2f} ms/frame -> {mpix:.1f} Mpix/s "
-        f"(dispatch times {[f'{t*1000:.0f}' for t in times]} ms; "
-        f"spread {times[0]*1000/BATCH:.2f}-{times[-1]*1000/BATCH:.2f} ms/frame)")
+    log(f"on-device roundtrip (pipelined GOPs): {dt*1000:.2f} ms/frame -> "
+        f"{mpix:.1f} Mpix/s "
+        f"(dispatch times {[f'{t*1000:.0f}' for t in ptimes]} ms)")
 
     out_np = np.asarray(out)
     psnrs = []
@@ -180,8 +198,9 @@ def main():
         "config": {"H": H, "W": W, "chunks": CHUNKS, "batch": BATCH,
                    "content": "16 distinct frames, classes natural/graphics/noise"},
         "ms_per_frame": {"median": round(dt * 1000, 2),
-                         "min": round(times[0] * 1000 / BATCH, 2),
-                         "max": round(times[-1] * 1000 / BATCH, 2)},
+                         "median_sync_per_gop": round(dt_sync * 1000, 2),
+                         "min": round(ptimes[0] * 1000 / BATCH, 2),
+                         "max": round(ptimes[-1] * 1000 / BATCH, 2)},
         "psnr_db": {"min": round(float(psnrs.min()), 2),
                     "median": round(float(np.median(psnrs)), 2),
                     "max": round(float(psnrs.max()), 2),
@@ -241,7 +260,7 @@ def main():
         json.dump(detail, f, indent=1)
 
     row = {
-        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip, 16 distinct frames)",
+        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip, 16 distinct frames, pipelined GOP serving)",
         "value": round(mpix, 1),
         "unit": "Mpixels/s",
         # headline ratio vs the THREADED reference workload (its design

@@ -410,3 +410,222 @@ def bc6h_encode_blocks_mode11_signed(
     m = jnp.clip(hb & 0x7FFF, 0, 0x7BFF)  # clamp to finite magnitude
     h = jnp.where(hb >= 0x8000, -m, m)  # signed value-int domain
     return _encode_mode11(h, signed=True, refine_iters=refine_iters)
+
+
+# ---------------------------------------------------------------------------
+# Two-subset encoder: mode 0x1E (6,6,6,6 untransformed endpoints, 3-bit
+# indices, 5-bit partition). The one two-subset mode with no delta
+# compression, so endpoints quantize independently — the natural first
+# two-subset mode for an encoder. Adaptive wrapper keeps mode 11 where it
+# reconstructs better under exact decode semantics (VERDICT r2 item 8).
+# ---------------------------------------------------------------------------
+
+def _quantize6(v: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """Value-int -> 6-bit endpoint, inverting finish(unquantize(q, 6))
+    with a local search (same recipe as _quantize10_*)."""
+    if not signed:
+        target = (v * 64 + 15) // 31
+        q = (target << 6) // 0x10000
+        best = best_err = None
+        for dq in (0, 1, 2):
+            qq = jnp.clip(q + dq, 0, 63)
+            rec = _finish(_unquantize(qq, 6, False), False)
+            err = jnp.abs(rec - v)
+            if best is None:
+                best, best_err = qq, err
+            else:
+                take = err < best_err
+                best = jnp.where(take, qq, best)
+                best_err = jnp.where(take, err, best_err)
+        return best
+    m = jnp.abs(v)
+    target = (m * 32 + 15) // 31
+    q = (target << 5) // 0x8000
+    best = best_err = None
+    for dq in (0, 1, 2):
+        qq = jnp.clip(q + dq, 0, 31)
+        rec = _finish(_unquantize(qq, 6, True), True) & 0x7FFF
+        err = jnp.abs(rec - m)
+        if best is None:
+            best, best_err = qq, err
+        else:
+            take = err < best_err
+            best = jnp.where(take, qq, best)
+            best_err = jnp.where(take, err, best_err)
+    return jnp.where(v < 0, -best, best)
+
+
+def _palette8(q0, q1, signed):
+    """6-bit endpoints (N, 3) -> decoded 8-entry palette (N, 8, 3) in the
+    signed value-int domain (exact decoder semantics, weights _W3)."""
+    u0 = _unquantize(q0, 6, signed)[:, None, :]
+    u1 = _unquantize(q1, 6, signed)[:, None, :]
+    pal = []
+    for k in range(8):
+        w = int(_W3[k])
+        fin = _finish((u0 * (64 - w) + u1 * w + 32) >> 6, signed)
+        if signed:
+            fin = jnp.where(fin >= 0x8000, -(fin & 0x7FFF), fin)
+        pal.append(fin)
+    return jnp.concatenate(pal, axis=1)
+
+
+def _or_bits_dynamic(bits, start, length_mask, vals):
+    """OR ``vals`` (N,) into the 128-bit blocks at DYNAMIC bit offsets
+    ``start`` (N,). vals must already be masked to their width."""
+    vals = vals.astype(_U32)
+    w_lo = (start >> 5).astype(_I32)
+    b = (start & 31).astype(_U32)
+    lo = vals << b
+    hi = jnp.where(b == 0, jnp.uint32(0), vals >> (32 - b))
+    out = []
+    for wi in range(4):
+        contrib = jnp.where(w_lo == wi, lo, jnp.uint32(0)) | jnp.where(
+            w_lo == wi - 1, hi, jnp.uint32(0))
+        out.append(bits[:, wi] | contrib)
+    return jnp.stack(out, axis=1)
+
+
+def _encode_mode1E(h: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """(N, 16, 3) value-ints -> (N, 4) uint32 mode-0x1E blocks.
+
+    Partition seed: threshold the principal-axis projection at its
+    midpoint, then pick the 2-subset partition (of the 32) agreeing best
+    with that labeling (label polarity is irrelevant — the fit uses the
+    table's own subset map). Per-subset per-channel min/max box endpoints,
+    6-bit quantization, exact-palette index assignment, per-subset anchor
+    swaps (W3 is weight-symmetric, so the swap is exact)."""
+    from hap_tpu.kernels.bc1 import _principal_axis
+    from hap_tpu.kernels.bc7_tables import ANCHOR2_2, PARTITIONS2
+
+    n = h.shape[0]
+    px = h.astype(jnp.float32)
+    axis = _principal_axis(px)
+    mean = jnp.mean(px, axis=1)
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    mid = 0.5 * (jnp.min(t, axis=1) + jnp.max(t, axis=1))
+    labels = (t > mid[:, None]).astype(jnp.float32)  # (N, 16)
+
+    parts = jnp.asarray(PARTITIONS2[:32], jnp.float32)  # (32, 16)
+    agree = labels @ parts.T + (1.0 - labels) @ (1.0 - parts.T)
+    score = jnp.maximum(agree, 16.0 - agree)
+    partition = jnp.argmax(score, axis=1).astype(_I32)  # (N,)
+
+    onehot = jax.nn.one_hot(partition, 32, dtype=jnp.float32)
+    subset = jnp.round(onehot @ parts).astype(_I32)  # (N, 16)
+    anchor2 = jnp.round(
+        onehot @ jnp.asarray(ANCHOR2_2[:32, None], jnp.float32)
+    ).astype(_I32)[:, 0]
+
+    lo_cl, hi_cl = (-0x7BFF, 0x7BFF) if signed else (0, 0x7BFF)
+    qs = []
+    codes = jnp.zeros((n, 16), _I32)
+    for s in (0, 1):
+        in_s = (subset == s)[:, :, None]
+        big = jnp.float32(1e9)
+        e0 = jnp.min(jnp.where(in_s, px, big), axis=1)
+        e1 = jnp.max(jnp.where(in_s, px, -big), axis=1)
+        q0 = _quantize6(jnp.clip(jnp.round(e0), lo_cl, hi_cl).astype(_I32),
+                        signed)
+        q1 = _quantize6(jnp.clip(jnp.round(e1), lo_cl, hi_cl).astype(_I32),
+                        signed)
+        pal = _palette8(q0, q1, signed)  # (N, 8, 3)
+        best_idx = jnp.zeros((n, 16), _I32)
+        best_err = None
+        for k in range(8):
+            d = (h - pal[:, k][:, None, :]).astype(jnp.float32)
+            err = jnp.sum(d * d, axis=-1)
+            if best_err is None:
+                best_err = err
+            else:
+                take = err < best_err
+                best_idx = jnp.where(take, k, best_idx)
+                best_err = jnp.where(take, err, best_err)
+        codes = jnp.where(subset == s, best_idx, codes)
+        qs.append((q0, q1))
+
+    # Anchor swaps: the anchor texel's index MSB must be 0; W3 symmetry
+    # (w[7-k] == 64 - w[k]) makes endpoint-swap + index-complement exact.
+    texel = jnp.arange(16, dtype=_I32)[None, :]
+    anchors = [jnp.zeros(n, _I32), anchor2]
+    for s in (0, 1):
+        a = anchors[s]
+        acode = jnp.take_along_axis(codes, a[:, None], axis=1)[:, 0]
+        swap = acode >= 4
+        in_s = subset == s
+        codes = jnp.where(swap[:, None] & in_s, 7 - codes, codes)
+        q0, q1 = qs[s]
+        qs[s] = (jnp.where(swap[:, None], q1, q0),
+                 jnp.where(swap[:, None], q0, q1))
+
+    # -- bit packing through the mode's layout table ----------------------
+    cfg = MODES6[0x1E]
+    field_src = {
+        "rw": qs[0][0][:, 0], "gw": qs[0][0][:, 1], "bw": qs[0][0][:, 2],
+        "rx": qs[0][1][:, 0], "gx": qs[0][1][:, 1], "bx": qs[0][1][:, 2],
+        "ry": qs[1][0][:, 0], "gy": qs[1][0][:, 1], "by": qs[1][0][:, 2],
+        "rz": qs[1][1][:, 0], "gz": qs[1][1][:, 1], "bz": qs[1][1][:, 2],
+    }
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits_static(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w_, b = start // 32, start % 32
+        bits = bits.at[:, w_].set(bits[:, w_] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w_ + 1].set(
+                bits[:, w_ + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits_static(bits, 0, 5, jnp.full(n, 0x1E, _I32))
+    pos = 5
+    for (name, lo, nbits, rev) in cfg["layout"]:
+        assert not rev  # 0x1E has no reversed runs
+        bits = set_bits_static(bits, pos, nbits, field_src[name] >> lo)
+        pos += nbits
+    bits = set_bits_static(bits, pos, 5, partition)
+    pos += 5
+
+    # indices: anchors carry 2 bits, others 3, packed in texel order at
+    # data-dependent offsets (mirrors the decoder's _get_bits_dynamic)
+    is_anchor = (texel == anchors[0][:, None]) | (texel == anchors[1][:, None])
+    widths = jnp.where(is_anchor, 2, 3)
+    offs = jnp.concatenate(
+        [jnp.zeros((n, 1), _I32), jnp.cumsum(widths[:, :-1], axis=1)], axis=1
+    )
+    for t_ in range(16):
+        v = codes[:, t_] & (
+            jnp.where(is_anchor[:, t_], 3, 7).astype(_I32))
+        bits = _or_bits_dynamic(bits, pos + offs[:, t_], None, v)
+    return bits
+
+
+def _to_value_int(half_bits, signed):
+    x = half_bits.astype(_I32)  # decode emits unsigned bit patterns
+    if not signed:
+        return x
+    m = x & 0x7FFF
+    return jnp.where(x >= 0x8000, -m, m)
+
+
+@partial(jax.jit, static_argnames=("signed", "refine_iters"))
+def bc6h_encode_blocks_adaptive(
+    half_bits: jnp.ndarray, signed: bool = False, refine_iters: int = 1
+) -> jnp.ndarray:
+    """Adaptive mode-11 / mode-0x1E encoder: both candidates are built,
+    DECODED with the real decoder, and the lower exact-SSE block wins —
+    two-subset wins on two-population blocks (graphics-class HDR), the
+    10-bit single line on smooth gradients."""
+    hb = half_bits.astype(_I32)
+    if signed:
+        m = jnp.clip(hb & 0x7FFF, 0, 0x7BFF)
+        h = jnp.where(hb >= 0x8000, -m, m)
+    else:
+        h = jnp.clip(hb, 0, 0x7BFF)
+    w11 = _encode_mode11(h, signed=signed, refine_iters=refine_iters)
+    w2s = _encode_mode1E(h, signed=signed)
+    d11 = _to_value_int(bc6h_decode_blocks(w11, signed=signed), signed)
+    d2s = _to_value_int(bc6h_decode_blocks(w2s, signed=signed), signed)
+    e11 = jnp.sum((d11 - h).astype(jnp.float32) ** 2, axis=(1, 2))
+    e2s = jnp.sum((d2s - h).astype(jnp.float32) ** 2, axis=(1, 2))
+    return jnp.where((e2s < e11)[:, None], w2s, w11)

@@ -62,17 +62,15 @@ def _block_fns(codec: str) -> Tuple[Callable, Callable, int, int]:
     if codec in ("hap_hdr", "hap_hdr_signed"):
         from hap_tpu.kernels.bc6h import (
             bc6h_decode_blocks,
-            bc6h_encode_blocks_mode11,
-            bc6h_encode_blocks_mode11_signed,
+            bc6h_encode_blocks_adaptive,
             f32_to_half_bits,
             half_bits_to_f32,
         )
 
         signed = codec == "hap_hdr_signed"
-        enc11 = (bc6h_encode_blocks_mode11_signed if signed
-                 else bc6h_encode_blocks_mode11)
         return (
-            lambda b: enc11(f32_to_half_bits(b.astype(jnp.float32))),
+            lambda b: bc6h_encode_blocks_adaptive(
+                f32_to_half_bits(b.astype(jnp.float32)), signed=signed),
             lambda w: half_bits_to_f32(bc6h_decode_blocks(w, signed=signed)),
             3,
             4,

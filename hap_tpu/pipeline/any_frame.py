@@ -171,7 +171,7 @@ def _texture_payload_device_tables(
             exp.append(0)
     # Raw chunks get an empty table (ok=False there is fine — they bypass
     # the kernel and are sliced from the frame in the stitch).
-    p = pack_tables(streams, exp)
+    p = pack_tables(streams, exp, S_max=S_max)
     ok_host = bool((p.ok | ~is_comp).all())
     # Bucket shapes so jit recompiles are bounded per stream.
     nmax = _ceil(max(p.ops.shape[1], 64), 512)
@@ -338,7 +338,7 @@ class ForeignGopSession:
                 else:
                     streams.append(b"")
                     exp.append(0)
-            p = pack_tables(streams, exp)
+            p = pack_tables(streams, exp, S_max=S_max)
             ok_host &= bool((p.ok | ~is_comp).all())
             # coarse buckets so same-stream frames share a profile; residual
             # mismatch is healed by device-side repadding in decode_gop

@@ -101,9 +101,12 @@ def _dec_hap_r(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 @jax.jit
 def _enc_hap_hdr(img: jnp.ndarray) -> jnp.ndarray:
-    """Hap HDR: BC6H unsigned (mode-11 encoder); img float32 RGB."""
+    """Hap HDR: BC6H unsigned (adaptive mode-11 / two-subset 0x1E
+    encoder); img float32 RGB."""
+    from hap_tpu.kernels.bc6h import bc6h_encode_blocks_adaptive
+
     blocks = image_to_blocks(img.astype(jnp.float32))
-    return bc6h_encode_blocks_mode11(f32_to_half_bits(blocks))
+    return bc6h_encode_blocks_adaptive(f32_to_half_bits(blocks), signed=False)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))
@@ -117,10 +120,10 @@ def _enc_hap_hdr_signed(img: jnp.ndarray) -> jnp.ndarray:
     of either sign. The reference carries this format as nibble 0x3
     (hap.h:HapTextureFormat_RGB_BPTC_SF, hap.c:51) but ships no encoder for
     any texture format; this closes the SF16 half of the HapH family."""
-    from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11_signed
+    from hap_tpu.kernels.bc6h import bc6h_encode_blocks_adaptive
 
     blocks = image_to_blocks(img.astype(jnp.float32))
-    return bc6h_encode_blocks_mode11_signed(f32_to_half_bits(blocks))
+    return bc6h_encode_blocks_adaptive(f32_to_half_bits(blocks), signed=True)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))

@@ -83,18 +83,18 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
 
         return bc7_encode_blocks(image_to_blocks(img))
     if codec == "hap_hdr":
-        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11, f32_to_half_bits
+        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_adaptive, f32_to_half_bits
 
         blocks = image_to_blocks(img.astype(jnp.float32))
-        return bc6h_encode_blocks_mode11(f32_to_half_bits(blocks))
+        return bc6h_encode_blocks_adaptive(f32_to_half_bits(blocks), signed=False)
     if codec == "hap_hdr_signed":
         from hap_tpu.kernels.bc6h import (
-            bc6h_encode_blocks_mode11_signed,
+            bc6h_encode_blocks_adaptive,
             f32_to_half_bits,
         )
 
         blocks = image_to_blocks(img.astype(jnp.float32))
-        return bc6h_encode_blocks_mode11_signed(f32_to_half_bits(blocks))
+        return bc6h_encode_blocks_adaptive(f32_to_half_bits(blocks), signed=True)
     raise ValueError(codec)
 
 
@@ -388,21 +388,23 @@ def _encode_blocks_gop(codec: str, imgs: jnp.ndarray) -> jnp.ndarray:
         blocks = to_blocks(imgs)
         return bc7_encode_blocks(blocks.reshape((-1,) + blocks.shape[2:]))
     if codec == "hap_hdr":
-        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_mode11, f32_to_half_bits
+        from hap_tpu.kernels.bc6h import bc6h_encode_blocks_adaptive, f32_to_half_bits
 
         blocks = to_blocks(imgs.astype(jnp.float32))
-        return bc6h_encode_blocks_mode11(
-            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:]))
+        return bc6h_encode_blocks_adaptive(
+            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:])),
+            signed=False,
         )
     if codec == "hap_hdr_signed":
         from hap_tpu.kernels.bc6h import (
-            bc6h_encode_blocks_mode11_signed,
+            bc6h_encode_blocks_adaptive,
             f32_to_half_bits,
         )
 
         blocks = to_blocks(imgs.astype(jnp.float32))
-        return bc6h_encode_blocks_mode11_signed(
-            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:]))
+        return bc6h_encode_blocks_adaptive(
+            f32_to_half_bits(blocks.reshape((-1,) + blocks.shape[2:])),
+            signed=True,
         )
     raise ValueError(codec)
 

@@ -239,12 +239,19 @@ class PackedTables:
 
 def pack_tables(streams: Sequence[bytes],
                 expected_lens: Optional[Sequence[int]] = None,
-                prefer_native: bool = True) -> PackedTables:
+                prefer_native: bool = True,
+                S_max: Optional[int] = None) -> PackedTables:
     """Compile a set of streams to fixed-shape tables.
 
     Uses the multithreaded C++ compiler (native/src/hapn.cpp:
     hapn_snappy_optable_batch — byte-identical tables, differentially
     tested) when available; the Python builder is the semantic reference.
+
+    ``S_max`` MUST equal the S_max the executor will be called with
+    (pack_fields bakes the literal row base nout = ceil(S_max/128) into
+    the tables); callers whose chunk set includes raw chunks larger than
+    any Snappy chunk must pass it explicitly — the default infers it from
+    the streams' decoded lengths alone.
     """
     if prefer_native and expected_lens is not None:
         try:
@@ -252,7 +259,8 @@ def pack_tables(streams: Sequence[bytes],
 
             ops, n_ops, lit, n_lit, out_len, ok = native.snappy_optable_batch(
                 streams, expected_lens)
-            S_max = max(int(out_len.max(initial=1)), 1)
+            if S_max is None:
+                S_max = max(int(out_len.max(initial=1)), 1)
             nout = -(-S_max // 128)
             for i in range(ops.shape[0]):
                 k = int(n_ops[i])
@@ -269,7 +277,8 @@ def pack_tables(streams: Sequence[bytes],
     C = len(streams)
     n_max = max([t.ops.shape[0] for t in tables if t is not None] + [1])
     l_max = max([t.lit.shape[0] for t in tables if t is not None] + [1])
-    S_max = max([t.out_len for t in tables if t is not None] + [1])
+    if S_max is None:
+        S_max = max([t.out_len for t in tables if t is not None] + [1])
     nout = -(-S_max // 128)
     ops = np.zeros((C, n_max, 2), np.int32)
     lit = np.zeros((C, l_max), np.uint8)

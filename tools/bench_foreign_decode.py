@@ -100,7 +100,7 @@ def main():
                      ].tobytes()
             for i in sel
         ]
-        p = pack_tables(streams, [int(usizes[i]) for i in sel])
+        p = pack_tables(streams, [int(usizes[i]) for i in sel], S_max=S_max)
         t_compile = time.time() - t0
         assert p.ok.all()
         log(f"[table] host op-table compile: {t_compile*1000:.1f} ms "
@@ -209,12 +209,20 @@ def main():
         sess = ForeignGopSession(H, W)
         t0 = time.time()
         staged = [sess.stage(f) for f in gop_frames]
-        jax.block_until_ready([s.frame_dev for s in staged])
+        jax.block_until_ready([
+            x for s in staged for t in s.per_texture for x in t[:7]
+            if hasattr(x, "block_until_ready")])
         t_stage = time.time() - t0
-        staged_mb = sum(
-            s.frame_dev.nbytes
-            + sum(x.nbytes for t in s.per_texture for x in t[:7])
-            for s in staged) / 1e6
+
+        def _staged_bytes(s):
+            n = 0 if s.frame_dev is None else s.frame_dev.nbytes
+            for t in s.per_texture:
+                n += sum(x.nbytes for x in t[:7])
+                if t[9] is not None:
+                    n += t[9].nbytes
+            return n
+
+        staged_mb = sum(_staged_bytes(s) for s in staged) / 1e6
         log(f"[gop] stage {GOP} frames: {t_stage*1000:.0f} ms "
             f"({staged_mb:.1f} MB host->device at ~38 MB/s tunnel; "
             f"PCIe would be ~{staged_mb/16:.1f} ms)")
