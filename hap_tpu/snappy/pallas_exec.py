@@ -26,11 +26,14 @@ toolchain (tools/probe_general_cost.py, tools/probe_exec2.py):
    the current and previous output blocks live in registers, so near
    copies touch no memory.
 
-Kernel input invariant (guaranteed by optable.build_op_table /
-hapn_snappy_optable_batch): every piece has 1 <= m <= 128, stays inside
-one output block (end flag = reaches its boundary), and off == 0 or
-m <= off <= bytes already produced. All dynamic row indices are clamped
-anyway — a malformed table must degrade to garbage output, never a fault
+Kernel input: optable.pack_fields words — every per-stage scalar
+(destination lanes pa/pe, end-of-block flag, near/far class, roll shift,
+source row) is host-precomputed, leaving the chain state machine two
+counters (piece index, block index). The logical invariant behind them
+(1 <= m <= 128 per piece, one output block each, off == 0 or
+m <= off <= bytes produced) is guaranteed by optable.build_op_table /
+hapn_snappy_optable_batch. All dynamic row indices are clamped anyway —
+a malformed table must degrade to garbage output, never a fault
 (CLAUDE.md §4).
 """
 
@@ -82,7 +85,7 @@ def execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages=None):
 
 @functools.partial(jax.jit, static_argnames=("S_max", "n_stages"))
 def _execute_op_tables(
-    ops: jnp.ndarray,  # (C, NOPS, 2) int32 [m|end<<8, off]; off==0 -> literal
+    ops: jnp.ndarray,  # (C, NOPS, 2) int32 pack_fields words (optable.py)
     n_ops: jnp.ndarray,  # (C,) int32
     lit: jnp.ndarray,  # (C, L) uint8 literal planes
     out_len: jnp.ndarray,  # (C,) int32 decoded sizes (<= S_max)
