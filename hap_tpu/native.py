@@ -90,7 +90,7 @@ def load() -> ctypes.CDLL:
         lib.hapn_snappy_optable_batch.argtypes = [
             _U8P, _ULP, _ULP, _ULP, _I32P, ctypes.c_ulong, _U8P,
             ctypes.c_ulong, _I32P, _I32P, _I32P, _I32P,
-            ctypes.c_uint, ctypes.c_int]
+            ctypes.c_uint, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -144,7 +144,8 @@ def snappy_uncompress(data, expected_length: Optional[int] = None) -> bytes:
 
 def snappy_optable_batch(streams: Sequence[bytes],
                          expected_lens: Sequence[int],
-                         n_threads: int = 0):
+                         n_threads: int = 0,
+                         promote_max: int = 0):
     """Compile Snappy streams into executor op tables (multithreaded C++).
 
     Mirrors hap_tpu/snappy/optable.pack_tables semantics (differentially
@@ -169,6 +170,8 @@ def snappy_optable_batch(streams: Sequence[bytes],
         2048,
         int(sizes.max(initial=0)) // 8 + int(exp.max(initial=0)) // 128)
     lit_cap = max(128, int(sizes.max(initial=0)))
+    if promote_max > 0:
+        lit_cap = max(lit_cap, int(exp.max(initial=0)))
     _I32P = ctypes.POINTER(ctypes.c_int32)
     while True:
         ops = np.zeros((C, ops_cap, 2), np.int32)
@@ -188,7 +191,7 @@ def snappy_optable_batch(streams: Sequence[bytes],
             n_lit.ctypes.data_as(_I32P),
             out_len.ctypes.data_as(_I32P),
             status.ctypes.data_as(_I32P),
-            C, n_threads)
+            C, n_threads, promote_max)
         _check(r, "snappy_optable_batch")
         if (status == 2).any():  # BUFFER_TOO_SMALL: retry with needed sizes
             ops_cap = max(ops_cap, int(n_ops.max()))

