@@ -410,10 +410,24 @@ class ForeignGopSession:
         return pixels, ok
 
 
+_FMT_SUBCODEC = {
+    "RGB_DXT1": ("hap", 2),
+    "RGBA_DXT5": ("hap_alpha", 4),
+    "YCoCg_DXT5": ("hap_q", 4),
+    "A_RGTC1": ("hap_alpha_only", 2),
+    "RGBA_BPTC_UNORM": ("hap_r", 4),
+    "RGB_BPTC_UNSIGNED_FLOAT": ("hap_hdr", 4),
+    "RGB_BPTC_SIGNED_FLOAT": ("hap_hdr_signed", 4),
+}
+
+
 @partial(jax.jit, static_argnames=("statics", "fmts", "H", "W", "multi"))
 def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
     from hap_tpu.kernels.layout import payload_to_words
-    from hap_tpu.pipeline.codecs import _DECODERS
+    # device_pipeline's per-codec block decoders (split-channel hap_q path
+    # skips the interleaved (N, 16, 4) relayout the generic BC3 composition
+    # would materialize)
+    from hap_tpu.pipeline.device_pipeline import _decode_blocks
 
     images = []
     for ti, fmt in enumerate(fmts):
@@ -436,13 +450,13 @@ def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
         payload = _gop_payload(
             fstack, ops, n_ops, lit, out_len, comp_off, out_off,
             is_comp, raw_rows, S_max, total, C)
-        dec, wpb = _DECODERS[fmt]
+        sub, wpb = _FMT_SUBCODEC[fmt.name]
 
-        def one(pay, dec=dec, wpb=wpb):
+        def one(pay, sub=sub, wpb=wpb):
             # lane-safe (m, 128, 4) bitcast — the (k, 4) form tiles each
             # 4-byte row onto an (8, 128) vreg (32x padding; layout.py)
             words = payload_to_words(pay).reshape(-1, wpb)
-            return dec(words, H, W)
+            return _decode_blocks(sub, words, H, W)
 
         images.append(jax.lax.map(one, payload))
 

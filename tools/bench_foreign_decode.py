@@ -243,7 +243,25 @@ def main():
         log(f"[gop] serving decode ({GOP}-frame GOP, staged): "
             f"{dt*1000:.1f} ms/frame -> {H*W/dt/1e6:.1f} Mpix/s "
             f"(times {[f'{t*1000:.0f}' for t in sorted(times)]})")
+
+        # steady-state: double-buffered GOP dispatches (enqueue GOP k+1
+        # before fetching GOP k's fold — hides the ~25 ms tunnel floor)
+        prev = sess.decode_gop(staged)
+        ptimes = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            cur = sess.decode_gop(staged)
+            _ = float(jnp.sum(prev[0].astype(jnp.int32)) + jnp.sum(prev[1]))
+            prev = cur
+            ptimes.append(time.time() - t0)
+        _ = float(jnp.sum(prev[0].astype(jnp.int32)) + jnp.sum(prev[1]))
+        pdt = sorted(ptimes)[ITERS // 2] / GOP
+        log(f"[gop] serving decode (pipelined GOPs): "
+            f"{pdt*1000:.1f} ms/frame -> {H*W/pdt/1e6:.1f} Mpix/s "
+            f"(times {[f'{t*1000:.0f}' for t in sorted(ptimes)]})")
         RESULTS[cls] = {
+            "gop_pipelined_ms_per_frame": round(pdt * 1000, 2),
+            "gop_pipelined_mpix_s": round(H * W / pdt / 1e6, 1),
             "gop_ms_per_frame": round(dt * 1000, 2),
             "gop_mpix_s": round(H * W / dt / 1e6, 1),
             "gop": GOP,
