@@ -8,21 +8,21 @@ everything else — frames from the five ecosystem encoder applications
 header form, any section order, per-chunk compressor mixes, and arbitrary
 google/snappy output.
 
-Division of labor: the host parses the container headers (a few hundred
-bytes — container/parse.py, the total-function planner); frame bytes are
-uploaded ONCE and chunk windows are sliced on device, so the whole byte
-plane (general Snappy kernel, snappy/pallas_general.py), the payload
-stitch, and all texture decoding run as device computations with
-device-resident outputs.
+Serving routes, fastest first:
 
-Two serving routes, both exposed by decode_frame_any:
-
-* via="device" — pure-device: the general Pallas Snappy kernel.
-* via="native" — hybrid: byte-serial LZ parsing is CPU-shaped work, so the
-  C++ runtime (multithreaded, hap_tpu/native) decompresses the container on
-  host and only the DXT payload ships to the chip for texture decode. This
-  is the production-throughput route for foreign streams; the device route
-  keeps frames that are already resident on device off the host entirely.
+* snappy="table" (default) — parse/execute split: the host compiles each
+  stream into executor piece tables (snappy/optable.py, multithreaded
+  C++; short copies promoted to literal-plane bytes) and the Pallas
+  executor (snappy/pallas_exec.py) replays them; ForeignGopSession
+  batches N frames into ONE fused device dispatch per GOP.
+* snappy="kernel" — the fused general Snappy Pallas kernel
+  (snappy/pallas_general.py): parses, validates, and resolves overlap
+  per element entirely on device — for streams whose bytes never touch
+  the host.
+* via="native" — byte-serial LZ is CPU-shaped work: the C++ runtime
+  decompresses on host (multithreaded) and only the DXT payload ships to
+  the chip for texture decode — the natural route on PCIe hosts with
+  spare cores.
 """
 
 from __future__ import annotations
