@@ -133,15 +133,18 @@ def _execute_op_tables(
         .astype(_I32)
         .reshape(C, nlit, 128)
     )
-    meta = jnp.stack([n_ops.astype(_I32), out_len.astype(_I32)], axis=1)
+    # n_ops grouped by grid step and padded to 8 rows per group: a
+    # (8, 1) SMEM block satisfies Mosaic's block-shape rule at any tc and
+    # keeps SMEM O(1) per step (an unblocked (C, 1) input exhausted the
+    # 1 MB SMEM next to the kernel's scalar spill slots at C = 2048).
+    G = C // tc
+    meta = jnp.zeros((G, 8), _I32).at[:, :tc].set(
+        n_ops.astype(_I32).reshape(G, tc)).reshape(G * 8, 1)
     P = n_stages
 
     def kernel(meta_ref, ops_ref, lit_ref, out_ref):
         lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
-        # meta is passed UNBLOCKED (a (tc, 2) SMEM block fails Mosaic's
-        # block-shape rule when tc < 8); index by grid position instead.
-        base = pl.program_id(0) * tc
-        nops_j = [meta_ref[base + j, 0] for j in range(tc)]
+        nops_j = [meta_ref[j, 0] for j in range(tc)]
 
         # Copy literal planes into the out tail rows: unifies literal and
         # far-copy sources into one "stream from out_ref rows" path.
@@ -226,7 +229,7 @@ def _execute_op_tables(
         kernel,
         grid=(C // tc,),
         in_specs=[
-            pl.BlockSpec((C, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, nops_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, nlit, 128), lambda i: (i, 0, 0),
