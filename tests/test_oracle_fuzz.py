@@ -57,8 +57,8 @@ def _ours_native(frame: bytes):
 
 
 def _worker_main(conn):
-    """Child process: decode frames shipped over the pipe with the real
-    HapDecode; a segfault kills only this process.
+    """Child process: decode (and introspect) frames shipped over the pipe
+    with the real compiled library; a segfault kills only this process.
 
     The frame is placed flush against a PROT_NONE guard page so that ANY
     read past the input buffer — hap.c has no input-extent validation on
@@ -78,19 +78,32 @@ def _worker_main(conn):
 
     while True:
         try:
-            frame = conn.recv_bytes()
+            msg = conn.recv_bytes()
         except EOFError:
             return
+        mode, frame = msg[:1], msg[1:]
         assert len(frame) <= npages * page
         start = npages * page - len(frame)
         buf[start: npages * page] = frame
         guarded = (ctypes.c_char * max(len(frame), 1)).from_buffer(
             buf, start)
         try:
-            payload, fmt = oracle.decode_raw(guarded, len(frame), 0)
-            conn.send(("ok", payload, int(fmt)))
-        except oracle.OracleError:
-            conn.send(("reject", None, None))
+            if mode == b"d":
+                try:
+                    payload, fmt = oracle.decode_raw(guarded, len(frame), 0)
+                    conn.send(("ok", payload, int(fmt)))
+                except oracle.OracleError:
+                    conn.send(("reject", None, None))
+            else:  # introspection trio (count / format@0 / chunk_count@0)
+                out = []
+                for fn in (oracle.texture_count,
+                           lambda f: oracle.texture_format(f, 0),
+                           lambda f: oracle.texture_chunk_count(f, 0)):
+                    try:
+                        out.append(fn(bytes(frame)))
+                    except oracle.OracleError:
+                        out.append(None)
+                conn.send(("trio", out, None))
         finally:
             del guarded
 
@@ -113,19 +126,29 @@ class _RealOracle:
         self._proc.start()
         child.close()
 
-    def decode(self, frame: bytes):
-        """(payload, fmt), None (reject), or "crash" (hap.c segfaulted)."""
+    def _call(self, mode: bytes, frame: bytes):
         if self._proc is None or not self._proc.is_alive():
             self._spawn()
         try:
-            self._conn.send_bytes(frame)
-            kind, payload, fmt = self._conn.recv()
+            self._conn.send_bytes(mode + frame)
+            return self._conn.recv()
         except (EOFError, BrokenPipeError, ConnectionResetError):
             self.crashes += 1
             self._proc.join()
             self._proc = None
+            return ("crash", None, None)
+
+    def decode(self, frame: bytes):
+        """(payload, fmt), None (reject), or "crash" (hap.c segfaulted)."""
+        kind, payload, fmt = self._call(b"d", frame)
+        if kind == "crash":
             return "crash"
         return (payload, fmt) if kind == "ok" else None
+
+    def trio(self, frame: bytes):
+        """[count|None, format|None, chunk_count|None], or "crash"."""
+        kind, out, _ = self._call(b"t", frame)
+        return "crash" if kind == "crash" else out
 
 
 _REAL = _RealOracle()
@@ -274,3 +297,62 @@ def test_mutated_snappy_interiors():
             _check_one(mut.tobytes())
             n += 1
     assert n >= 60
+
+
+def _ours_trio(frame: bytes):
+    from hap_tpu.api import (
+        hap_get_frame_texture_chunk_count,
+        hap_get_frame_texture_count,
+        hap_get_frame_texture_format,
+    )
+
+    out = []
+    for fn in (hap_get_frame_texture_count,
+               lambda f: hap_get_frame_texture_format(f, 0),
+               lambda f: hap_get_frame_texture_chunk_count(f, 0)):
+        try:
+            v = fn(frame)
+            out.append(int(v))
+        except Exception:
+            out.append(None)
+    return out
+
+
+def test_introspection_trio_parity_on_mutants():
+    """HapGetFrameTextureCount / Format / ChunkCount agree with the real
+    compiled functions on mutated frames — accept/reject AND values.
+    (The three functions have DIFFERENT walk bounds in the reference:
+    count walks all children bounded by the buffer, the indexer stops at
+    the index bounded by the parent — hap.c:956-975 vs 1061-1076 — so
+    trio parity is a separate surface from decode parity.)"""
+    rng = np.random.default_rng(4)
+    frames = _base_frames()
+    n = n_crash = 0
+    for frame in frames:
+        arr = np.frombuffer(frame, np.uint8).copy()
+        positions = list(range(min(48, len(arr)))) + [
+            int(rng.integers(0, len(arr))) for _ in range(30)
+        ]
+        for pos in positions:
+            for val in (0x00, 0xFF, int(rng.integers(0, 256))):
+                mut = arr.copy()
+                mut[pos] = val
+                mb = mut.tobytes()
+                real = _REAL.trio(mb)
+                if real == "crash":
+                    n_crash += 1
+                    continue
+                ours = _ours_trio(mb)
+                assert ours == real, (pos, val, ours, real)
+                n += 1
+        # truncations exercise the header bound checks
+        for _ in range(20):
+            cut = int(rng.integers(0, len(arr)))
+            mb = arr[:cut].tobytes()
+            real = _REAL.trio(mb)
+            if real == "crash":
+                n_crash += 1
+                continue
+            assert _ours_trio(mb) == real, cut
+            n += 1
+    assert n >= 800 and n_crash == 0  # introspection never reads chunk data
