@@ -388,6 +388,22 @@ class ForeignGopSession:
         assert all(s.profile == prof for s in staged), (
             "decode_gop requires a uniform frame profile; group by "
             ".profile for mixed streams")
+        # HBM guard: the fused program holds decoded rows + payload +
+        # pixels for every frame concurrently; 16K frames fit one per
+        # dispatch, not eight (measured OOM at 2x16K on a 16 GB chip).
+        per_frame = 0
+        for ti in range(len(staged[0].spec.texture_formats)):
+            t = staged[0].per_texture[ti]
+            S_max, total = t[7], t[8]
+            C = t[0].shape[0]
+            per_frame += C * S_max * 4 + total + t[0].nbytes + t[2].nbytes
+        per_frame += 4 * self.height * self.width * 4  # pixels + folds
+        est = per_frame * len(staged)
+        if est > 12 * 2**30:
+            raise ValueError(
+                f"GOP of {len(staged)} frames needs ~{est/2**30:.1f} GiB "
+                f"of HBM in one fused dispatch; split the GOP (~"
+                f"{max(1, int(12 * 2**30 // per_frame))} frames fit)")
         spec = staged[0].spec
         frames = (tuple(s.frame_dev for s in staged)
                   if staged[0].frame_dev is not None else None)
