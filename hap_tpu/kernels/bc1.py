@@ -229,6 +229,14 @@ def _pack_indices2(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(codes.astype(_U32) << shifts, axis=1, dtype=_U32)
 
 
+def _quantize565_planes(e):
+    """[r, g, b] float (N,) component planes -> uint16 565 (N,)."""
+    r = jnp.round(jnp.clip(e[0], 0.0, 255.0) * (31.0 / 255.0)).astype(_I32)
+    g = jnp.round(jnp.clip(e[1], 0.0, 255.0) * (63.0 / 255.0)).astype(_I32)
+    b = jnp.round(jnp.clip(e[2], 0.0, 255.0) * (31.0 / 255.0)).astype(_I32)
+    return ((r << 11) | (g << 5) | b).astype(jnp.uint16)
+
+
 @partial(jax.jit, static_argnames=("refine_iters",))
 def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray:
     """(N, 16, 3) uint8 RGB -> (N, 2) uint32 BC1 blocks (4-color mode).
@@ -237,41 +245,107 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
     emitted blocks always satisfy c0 >= c1; equal endpoints use all-zero
     indices, so punch-through transparency is never produced.
     """
-    px = pixels.astype(_F32)
-    n = px.shape[0]
+    return bc1_encode_planes(
+        pixels.astype(_F32).transpose(2, 1, 0), refine_iters)
 
-    axis = _principal_axis(px)
-    mean = jnp.mean(px, axis=1)
-    spx = mean * 16.0  # exact: /16 then *16 are power-of-2 ops
-    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
-    tmin = jnp.min(t, axis=1)
-    tmax = jnp.max(t, axis=1)
-    e0 = mean + axis * tmax[:, None]  # e0 = high end
-    e1 = mean + axis * tmin[:, None]
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc1_encode_planes(planes: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray:
+    """(3, 16, N) float/uint8 RGB planes -> (N, 2) uint32 BC1 blocks.
+
+    LANE-MAJOR formulation: all texel math runs on per-channel (16, N)
+    planes, which tile (8, 128) vregs with zero padding — the natural
+    (N, 16, 3) form puts (16, 3) on the tiled dims and wastes ~42x the
+    lanes. Per-block scalars stay (N,) vectors; reductions over the 16
+    texels are sublane reductions. Feed from
+    kernels.layout.image_to_block_planes to keep the whole chain planar.
+    """
+    pxT = planes.astype(_F32)
+    ch = [pxT[0], pxT[1], pxT[2]]  # (16, N) planes
+    n = planes.shape[2]
+
+    # --- PCA seed (power iteration on (N,) covariance entries) ----------
+    means = [jnp.mean(c, axis=0) for c in ch]
+    d = [c - m[None, :] for c, m in zip(ch, means)]
+    cov = [[jnp.sum(d[i] * d[j], axis=0) for j in range(3)] for i in range(3)]
+    for i in range(3):
+        for j in range(i):
+            cov[i][j] = cov[j][i]
+    v = [sum(jnp.abs(cov[i][j]) for j in range(3)) + 1e-4 for i in range(3)]
+    for _ in range(5):
+        nv = [sum(cov[i][j] * v[j] for j in range(3)) for i in range(3)]
+        norm = jax.lax.rsqrt(sum(x * x for x in nv) + 1e-24)
+        v = [x * norm for x in nv]
+
+    t = sum(dc * vc[None, :] for dc, vc in zip(d, v))  # (16, N)
+    tmin = jnp.min(t, axis=0)
+    tmax = jnp.max(t, axis=0)
+    e0 = [m + vc * tmax for m, vc in zip(means, v)]  # e0 = high end
+    e1 = [m + vc * tmin for m, vc in zip(means, v)]
+    spx = [m * 16.0 for m in means]  # exact: /16 then *16
 
     def one_round(e0, e1):
-        q0 = quantize565(e0)
-        q1 = quantize565(e1)
+        q0 = _quantize565_planes(e0)
+        q1 = _quantize565_planes(e1)
         # Canonical order c0 >= c1 keeps us in 4-color mode.
         swap = q0.astype(_I32) < q1.astype(_I32)
         q0, q1 = jnp.where(swap, q1, q0), jnp.where(swap, q0, q1)
-        four = jnp.ones(n, dtype=jnp.bool_)
-        palette, _ = _palette(q0, q1, four)
-        codes = _select_indices(px, palette)
-        # Where endpoints are equal the palette is degenerate: use code 0.
-        codes = jnp.where((q0 == q1)[:, None], 0, codes)
+        p0 = expand565(q0)
+        p1 = expand565(q1)
+        # 4-entry palette as component planes; f32 floor math is exact
+        # (see bc1_decode_blocks' proof comment)
+        pal = []
+        for k, (ca, cb) in enumerate(((3.0, 0.0), (0.0, 3.0),
+                                      (2.0, 1.0), (1.0, 2.0))):
+            pal.append([
+                jnp.floor((ca * a.astype(_F32) + cb * b.astype(_F32) + 1.0)
+                          * (1.0 / 3.0))
+                for a, b in zip(p0, p1)
+            ])
+        # nearest palette entry: running strict-< min (argmin tie rule)
+        codes = jnp.zeros((16, n), _I32)
+        bestd = None
+        for k in range(4):
+            dist = sum((c - pal[k][ci][None, :]) ** 2
+                       for ci, c in enumerate(ch))
+            if bestd is None:
+                bestd = dist
+            else:
+                sel = dist < bestd
+                codes = jnp.where(sel, k, codes)
+                bestd = jnp.where(sel, dist, bestd)
+        # Degenerate palette (equal endpoints): use code 0.
+        codes = jnp.where((q0 == q1)[None, :], 0, codes)
         return q0, q1, codes
 
     q0, q1, codes = one_round(e0, e1)
     for _ in range(refine_iters):
-        w = _weights_from_codes_bc1(codes)
-        r0, g0, b0 = expand565(q0)
-        r1, g1, b1 = expand565(q1)
-        e0f = jnp.stack([r0, g0, b0], -1).astype(_F32)
-        e1f = jnp.stack([r1, g1, b1], -1).astype(_F32)
-        e0n, e1n = _fit_endpoints_ls(px, w, e0f, e1f, spx=spx)
+        is1 = (codes == 1).astype(_F32)
+        is2 = (codes == 2).astype(_F32)
+        is3 = (codes == 3).astype(_F32)
+        w = is1 + is2 * (1.0 / 3.0) + is3 * (2.0 / 3.0)  # (16, N)
+        e0f = [x.astype(_F32) for x in expand565(q0)]
+        e1f = [x.astype(_F32) for x in expand565(q1)]
+        # least-squares refit, componentwise (same algebra as
+        # _fit_endpoints_ls on planes)
+        sw = jnp.sum(w, axis=0)
+        gamma = jnp.sum(w * w, axis=0)
+        beta = sw - gamma
+        alpha = 16.0 - 2.0 * sw + gamma
+        det = alpha * gamma - beta * beta
+        ok = jnp.abs(det) > 1e-4
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        e0n, e1n = [], []
+        for ci in range(3):
+            r1 = jnp.sum(w * ch[ci], axis=0)
+            r0 = spx[ci] - r1
+            n0 = (gamma * r0 - beta * r1) * inv_det
+            n1 = (alpha * r1 - beta * r0) * inv_det
+            e0n.append(jnp.where(ok, n0, e0f[ci]))
+            e1n.append(jnp.where(ok, n1, e1f[ci]))
         q0, q1, codes = one_round(e0n, e1n)
 
-    idx = _pack_indices2(codes)
+    shifts = (2 * jnp.arange(16, dtype=_U32))[:, None]  # (16, 1)
+    idx = jnp.sum(codes.astype(_U32) << shifts, axis=0, dtype=_U32)
     w0 = q0.astype(_U32) | (q1.astype(_U32) << 16)
     return jnp.stack([w0, idx], axis=1)

@@ -149,33 +149,48 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
     Endpoint seed = block max/min; one least-squares refinement round by
     default. Emits a0 >= a1; equal endpoints use all-zero codes.
     """
-    v = values.astype(_F32)
-    n = v.shape[0]
+    return bc4_encode_planes(values.astype(_F32).T, refine_iters)
 
-    e0 = jnp.max(v, axis=1)  # a0 = high end (a0 > a1 selects 8-interp mode)
-    e1 = jnp.min(v, axis=1)
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def bc4_encode_planes(plane: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
+    """(16, N) float/uint8 channel plane -> (N, 2) uint32 BC4 blocks.
+
+    LANE-MAJOR formulation: texel math on the (16, N) plane (zero vreg
+    padding; the (N, 16) form wastes 8x the lanes — see
+    bc1_encode_planes)."""
+    vT = plane.astype(_F32)  # (16, N)
+    n = plane.shape[1]
+
+    e0 = jnp.max(vT, axis=0)  # a0 = high end (a0 > a1 selects 8-interp mode)
+    e1 = jnp.min(vT, axis=0)
 
     def one_round(e0, e1):
         a0 = jnp.clip(jnp.round(e0), 0, 255).astype(_I32)
         a1 = jnp.clip(jnp.round(e1), 0, 255).astype(_I32)
         swap = a0 < a1
         a0, a1 = jnp.where(swap, a1, a0), jnp.where(swap, a0, a1)
-        palette = _palette8(a0, a1).astype(_F32)  # (N, 8)
-        # Running min/select over the 8 entries: one fused elementwise pass
-        # instead of a materialized (N,16,8) distance tensor + argmin (HBM
-        # traffic at 4K). Strict `<` keeps argmin's first-minimal-index rule.
-        codes = jnp.zeros_like(values, dtype=_I32)
-        bestd = jnp.abs(v - palette[:, 0][:, None])
+        # 8-interp palette entries as (N,) planes; f32 floor math is exact
+        # (see _palette8 / test_f32_reciprocal_palette_math_exhaustive)
+        a0f, a1f = a0.astype(_F32), a1.astype(_F32)
+        pal = [a0f, a1f] + [
+            jnp.floor(((8.0 - k) * a0f + (k - 1.0) * a1f + 3.0) * (1.0 / 7.0))
+            for k in range(2, 8)
+        ]
+        # Running min/select over the 8 entries: one fused elementwise pass;
+        # strict `<` keeps argmin's first-minimal-index rule.
+        codes = jnp.zeros((16, n), _I32)
+        bestd = jnp.abs(vT - pal[0][None, :])
         for k in range(1, 8):
-            dist = jnp.abs(v - palette[:, k][:, None])
+            dist = jnp.abs(vT - pal[k][None, :])
             sel = dist < bestd
             codes = jnp.where(sel, k, codes)
             bestd = jnp.where(sel, dist, bestd)
-        codes = jnp.where((a0 == a1)[:, None], 0, codes)
+        codes = jnp.where((a0 == a1)[None, :], 0, codes)
         return a0, a1, codes
 
     a0, a1, codes = one_round(e0, e1)
-    vi = values.astype(_I32)
+    viT = jnp.round(vT).astype(_I32)  # (16, N); exact for uint8-valued input
     for _ in range(refine_iters):
         # Least-squares endpoint refit in EXACT integer arithmetic. The
         # interpolation weights are k/7 rationals, so the normal equations
@@ -186,13 +201,13 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         # pipelines diverged by one index bit on tie blocks).
         w7 = jnp.where(
             codes == 0, 0, jnp.where(codes == 1, 7, codes - 1)
-        )  # weight numerator over 7
-        sw7 = jnp.sum(w7, axis=1)
-        g49 = jnp.sum(w7 * w7, axis=1)  # gamma * 49
+        )  # weight numerator over 7; (16, N)
+        sw7 = jnp.sum(w7, axis=0)
+        g49 = jnp.sum(w7 * w7, axis=0)  # gamma * 49
         b49 = 7 * sw7 - g49  # beta * 49
         a49 = 16 * 49 - 14 * sw7 + g49  # alpha * 49
-        r1_7 = jnp.sum(w7 * vi, axis=1)  # r1 * 7
-        r0_7 = 7 * jnp.sum(vi, axis=1) - r1_7
+        r1_7 = jnp.sum(w7 * viT, axis=0)  # r1 * 7
+        r0_7 = 7 * jnp.sum(viT, axis=0) - r1_7
         det = a49 * g49 - b49 * b49  # = 49^2 * det_true >= 0 (Cauchy-Schwarz)
         # n = 49*7 * numerator_true, so e = n*7/det (49^2/343 = 7)
         n0 = 7 * (g49 * r0_7 - b49 * r1_7)
@@ -212,4 +227,34 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         a1n = jnp.where(ok, jnp.clip(div_round(n1, dsafe), 0, 255), a1)
         a0, a1, codes = one_round(a0n.astype(_F32), a1n.astype(_F32))
 
-    return _pack_codes3(codes, a0, a1)
+    return _pack_codes3_planes(codes, a0, a1)
+
+
+def _pack_codes3_planes(codes: jnp.ndarray, a0: jnp.ndarray,
+                        a1: jnp.ndarray) -> jnp.ndarray:
+    """Pack 16 3-bit codes (16, N) + endpoints into (N, 2) uint32
+    (lane-major twin of _pack_codes3; per-texel shifts are per-sublane
+    constants)."""
+    bit = (3 * jnp.arange(16, dtype=_I32))[:, None]  # (16, 1)
+    c = codes.astype(_U32)
+    lo = (
+        jnp.sum(
+            jnp.where(bit <= 13, c << jnp.clip(bit, 0, 31).astype(_U32), 0),
+            axis=0,
+            dtype=_U32,
+        )
+        & 0xFFFF
+    )
+    strad = (codes[5].astype(_U32) >> 1) & 0x3
+    hi = (
+        jnp.sum(
+            jnp.where(bit >= 16, c << jnp.clip(bit - 16, 0, 31).astype(_U32), 0),
+            axis=0,
+            dtype=_U32,
+        )
+        | strad
+    )
+    # t=5 low bit:
+    lo = lo | ((codes[5].astype(_U32) & 0x1) << 15)
+    w0 = a0.astype(_U32) | (a1.astype(_U32) << 8) | (lo << 16)
+    return jnp.stack([w0, hi], axis=1)

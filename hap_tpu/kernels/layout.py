@@ -113,3 +113,62 @@ def payload_to_words(payload: jnp.ndarray) -> jnp.ndarray:
         payload.reshape(-1, 128, 4), jnp.uint32
     )  # (m, 128)
     return w.reshape(-1)[: n // 4]
+
+
+def image_to_block_planes(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) or (H, W) -> (C, 16, N) uint8 LANE-MAJOR block planes.
+
+    Same block (N) and texel (t = 4*row + col) ordering as
+    image_to_blocks, but channel-planar with the block axis minor — every
+    downstream (16, N) op tiles (8, 128) vregs with zero padding, where
+    the (N, 16, C) form pads its (16, C) tiled dims ~42x.
+
+    The column split (moving the 4 in-block columns off the lane axis)
+    would be a strided lane shuffle; instead the 4 adjacent u8 columns are
+    bitcast to ONE u32 lane and the texels extracted with elementwise
+    shifts — the only true relayout is the initial channel transpose.
+    """
+    import jax
+
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    ph, pw = padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        img = jnp.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    bh, bw = ph // 4, pw // 4
+    p = img.transpose(2, 0, 1)  # (C, PH, PW): the one interleaved-read
+    x = p.reshape(c, bh, 4, pw)
+    texels = []
+    for r in range(4):
+        row = x[:, :, r, :].reshape(c, bh, bw, 4)
+        w32 = jax.lax.bitcast_convert_type(row, jnp.uint32)  # (C, bh, bw)
+        flat = w32.reshape(c, bh * bw)
+        for col in range(4):
+            texels.append(((flat >> (8 * col)) & 0xFF).astype(jnp.uint8))
+    return jnp.stack(texels, axis=1)  # (C, 16, N)
+
+
+def block_planes_to_image(planes: jnp.ndarray, height: int, width: int
+                          ) -> jnp.ndarray:
+    """(C, 16, N) uint8 planes -> (H, W[, C]) — inverse of
+    image_to_block_planes (u32-compose twin of the extract trick)."""
+    import jax
+
+    c = planes.shape[0]
+    ph, pw = padded_dims(height, width)
+    bh, bw = ph // 4, pw // 4
+    rows = []
+    for r in range(4):
+        w32 = sum(
+            planes[:, 4 * r + col].astype(jnp.uint32) << (8 * col)
+            for col in range(4)
+        )  # (C, N)
+        by = jax.lax.bitcast_convert_type(
+            w32.reshape(c, bh, bw)[..., None], jnp.uint8
+        )  # (C, bh, bw, 1, 4)
+        rows.append(by.reshape(c, bh, pw))
+    img = jnp.stack(rows, axis=2).reshape(c, ph, pw).transpose(1, 2, 0)
+    img = img[:height, :width]
+    return img[..., 0] if c == 1 else img

@@ -102,3 +102,28 @@ def cocgs_y_to_rgb(cocgs: jnp.ndarray, y8: jnp.ndarray) -> jnp.ndarray:
     r = b + co
     rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+def rgb_to_cocgs_y_planes(rgb_planes: jnp.ndarray):
+    """LANE-MAJOR twin of rgb_to_cocgs_y: (3, 16, N) uint8 RGB planes ->
+    ((3, 16, N) float32 CoCg_scale planes, (16, N) float32 Y).
+
+    Outputs stay float (they feed the BC1/BC4 plane encoders directly);
+    values are the same round/clip results as the uint8 path.
+    """
+    r = rgb_planes[0].astype(_F32)
+    g = rgb_planes[1].astype(_F32)
+    b = rgb_planes[2].astype(_F32)
+    co = r - b
+    t = b + co * 0.5
+    cg = g - t
+    y = t + cg * 0.5
+    amp = jnp.maximum(jnp.max(jnp.abs(co), axis=0), jnp.max(jnp.abs(cg), axis=0))
+    half_amp = amp * 0.5
+    scale = jnp.where(half_amp < 32.0, 4.0, jnp.where(half_amp < 64.0, 2.0, 1.0))
+    s = scale[None, :]
+    co_b = jnp.clip(jnp.round(co * 0.5 * s + _OFFSET), 0, 255)
+    cg_b = jnp.clip(jnp.round(cg * 0.5 * s + _OFFSET), 0, 255)
+    scale_b = jnp.broadcast_to((scale[None, :] - 1.0) * 8.0, co_b.shape)
+    y_b = jnp.clip(jnp.round(y), 0, 255)
+    return jnp.stack([co_b, cg_b, scale_b]), y_b

@@ -30,27 +30,57 @@ from hap_tpu.kernels.bc4 import bc4_decode_blocks, bc4_encode_blocks
 from hap_tpu.kernels.ycocg import cocgsy_to_rgb, rgb_to_cocgsy
 
 
+def _hap_q_encode_blocks(b):
+    """(N, 16, 3) RGB blocks -> hap_q words via the SAME lane-major planar
+    chain as device_pipeline._encode_blocks — the spatial-sharding
+    bit-identity guarantee requires identical jaxpr ops, and the blocks
+    transpose produces exactly image_to_block_planes' array."""
+    from hap_tpu.kernels.bc1 import bc1_encode_planes
+    from hap_tpu.kernels.bc4 import bc4_encode_planes
+    from hap_tpu.kernels.ycocg import rgb_to_cocgs_y_planes
+
+    cocgs_p, y_p = rgb_to_cocgs_y_planes(b.transpose(2, 1, 0))
+    return jnp.concatenate(
+        [bc4_encode_planes(y_p), bc1_encode_planes(cocgs_p)], axis=1)
+
+
+def _hap_alpha_encode_blocks(b):
+    from hap_tpu.kernels.bc1 import bc1_encode_planes
+    from hap_tpu.kernels.bc4 import bc4_encode_planes
+
+    p = b.transpose(2, 1, 0)
+    return jnp.concatenate(
+        [bc4_encode_planes(p[3]), bc1_encode_planes(p[:3])], axis=1)
+
+
 def _block_fns(codec: str) -> Tuple[Callable, Callable, int, int]:
-    """(encode_blocks, decode_blocks, channels, words_per_block) for a codec."""
+    """(encode_blocks, decode_blocks, channels, words_per_block) for a codec.
+
+    Encoders mirror device_pipeline._encode_blocks' planar formulations
+    exactly (bit-identity across sharded and single-device pipelines)."""
     if codec == "hap":
+        from hap_tpu.kernels.bc1 import bc1_encode_planes
+
         return (
-            lambda b: bc1_encode_blocks(b),
+            lambda b: bc1_encode_planes(b.transpose(2, 1, 0)),
             lambda w: bc1_decode_blocks(w)[0],
             3,
             2,
         )
     if codec == "hap_alpha":
-        return bc3_encode_blocks, bc3_decode_blocks, 4, 4
+        return _hap_alpha_encode_blocks, bc3_decode_blocks, 4, 4
     if codec == "hap_q":
         return (
-            lambda b: bc3_encode_blocks(rgb_to_cocgsy(b)),
+            _hap_q_encode_blocks,
             lambda w: cocgsy_to_rgb(bc3_decode_blocks(w)),
             3,
             4,
         )
     if codec == "hap_alpha_only":
+        from hap_tpu.kernels.bc4 import bc4_encode_planes
+
         return (
-            lambda b: bc4_encode_blocks(b[..., 0]),
+            lambda b: bc4_encode_planes(b[..., 0].T),
             lambda w: bc4_decode_blocks(w)[..., None],
             1,
             2,

@@ -58,26 +58,36 @@ def _refine(effort: str) -> int:
 
 
 def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.ndarray:
+    # hap/hap_alpha/hap_q/hap_alpha_only run the LANE-MAJOR planar chain:
+    # one channel transpose at entry (image_to_block_planes), then every
+    # texel op tiles (8, 128) vregs with zero padding (the (N, 16, C)
+    # forms waste up to ~42x the lanes; measured ~2x on 4K hap_q encode).
+    from hap_tpu.kernels.bc1 import bc1_encode_planes
+    from hap_tpu.kernels.bc4 import bc4_encode_planes
+    from hap_tpu.kernels.layout import image_to_block_planes
+
     if codec == "hap":
-        return bc1_encode_blocks(
-            image_to_blocks(img[..., :3]), refine_iters=_refine(effort)
+        return bc1_encode_planes(
+            image_to_block_planes(img[..., :3]), refine_iters=_refine(effort)
         )
     if codec == "hap_alpha":
-        return bc3_encode_blocks(image_to_blocks(img))
-    if codec == "hap_q":
-        from hap_tpu.kernels.bc1 import bc1_encode_blocks as _bc1_enc
-        from hap_tpu.kernels.bc4 import bc4_encode_blocks as _bc4_enc
-        from hap_tpu.kernels.ycocg import rgb_to_cocgs_y
-
-        # Split-channel transform feeds the two half-encoders directly (no
-        # interleaved (N, 16, 4) array; see kernels/ycocg.py).
-        cocgs, y = rgb_to_cocgs_y(image_to_blocks(img[..., :3]))
+        planes = image_to_block_planes(img)
         return jnp.concatenate(
-            [_bc4_enc(y), _bc1_enc(cocgs, refine_iters=_refine(effort))], axis=1
-        )
+            [bc4_encode_planes(planes[3]),
+             bc1_encode_planes(planes[:3], refine_iters=_refine(effort))],
+            axis=1)
+    if codec == "hap_q":
+        from hap_tpu.kernels.ycocg import rgb_to_cocgs_y_planes
+
+        cocgs_p, y_p = rgb_to_cocgs_y_planes(
+            image_to_block_planes(img[..., :3]))
+        return jnp.concatenate(
+            [bc4_encode_planes(y_p),
+             bc1_encode_planes(cocgs_p, refine_iters=_refine(effort))],
+            axis=1)
     if codec == "hap_alpha_only":
         chan = img if img.ndim == 2 else img[..., -1]
-        return bc4_encode_blocks(image_to_blocks(chan))
+        return bc4_encode_planes(image_to_block_planes(chan)[0])
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_encode_blocks
 
