@@ -111,6 +111,34 @@ def bc4_decode_blocks(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((a0 > a1)[:, None], v7, v5).astype(jnp.uint8)
 
 
+def bc4_decode_planes(w0: jnp.ndarray, w1: jnp.ndarray) -> jnp.ndarray:
+    """LANE-MAJOR twin of bc4_decode_blocks: ((N,) uint32, (N,) uint32) ->
+    (16, N) float32 channel plane, bit-identical values (same exact-f32
+    floor palette math), both interpolation modes."""
+    w0 = w0.astype(_U32)
+    a0 = (w0 & 0xFF).astype(_I32)  # (N,)
+    a1 = ((w0 >> 8) & 0xFF).astype(_I32)
+    # 48-bit index field: low 16 bits in w0[16:32], high 32 bits in w1.
+    bit = (3 * jnp.arange(16, dtype=_I32))[:, None]  # (16, 1)
+    lo16 = (w0 >> 16)[None, :]  # (1, N)
+    hi32 = w1.astype(_U32)[None, :]
+    up = jnp.clip(16 - bit, 0, 31).astype(_U32)
+    down = jnp.clip(bit - 16, 0, 31).astype(_U32)
+    from_lo = (lo16 >> jnp.clip(bit, 0, 31).astype(_U32)) | jnp.where(
+        bit > 0, hi32 << up, 0
+    )
+    k = (jnp.where(bit < 16, from_lo, hi32 >> down) & 0x7).astype(_I32)  # (16, N)
+    a0f, a1f = a0.astype(_F32)[None, :], a1.astype(_F32)[None, :]
+    kf = k.astype(_F32)
+    wa7 = jnp.where(k == 0, 7.0, jnp.where(k == 1, 0.0, 8.0 - kf))
+    v7 = jnp.floor((wa7 * a0f + (7.0 - wa7) * a1f + 3.0) * (1.0 / 7.0))
+    wa5 = jnp.where(k == 0, 5.0,
+                    jnp.where(k == 1, 0.0, jnp.maximum(6.0 - kf, 0.0)))
+    v5 = jnp.floor((wa5 * a0f + (5.0 - wa5) * a1f + 2.0) * (1.0 / 5.0))
+    v5 = jnp.where(k == 6, 0.0, jnp.where(k == 7, 255.0, v5))
+    return jnp.where((a0 > a1)[None, :], v7, v5)
+
+
 def _pack_codes3(codes: jnp.ndarray, a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
     """Pack 16 3-bit codes + endpoints into (N, 2) uint32."""
     t = jnp.arange(16, dtype=_I32)[None, :]
@@ -170,22 +198,20 @@ def bc4_encode_planes(plane: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
         a1 = jnp.clip(jnp.round(e1), 0, 255).astype(_I32)
         swap = a0 < a1
         a0, a1 = jnp.where(swap, a1, a0), jnp.where(swap, a0, a1)
-        # 8-interp palette entries as (N,) planes; f32 floor math is exact
-        # (see _palette8 / test_f32_reciprocal_palette_math_exhaustive)
-        a0f, a1f = a0.astype(_F32), a1.astype(_F32)
-        pal = [a0f, a1f] + [
-            jnp.floor(((8.0 - k) * a0f + (k - 1.0) * a1f + 3.0) * (1.0 / 7.0))
-            for k in range(2, 8)
-        ]
-        # Running min/select over the 8 entries: one fused elementwise pass;
-        # strict `<` keeps argmin's first-minimal-index rule.
-        codes = jnp.zeros((16, n), _I32)
-        bestd = jnp.abs(vT - pal[0][None, :])
-        for k in range(1, 8):
-            dist = jnp.abs(vT - pal[k][None, :])
-            sel = dist < bestd
-            codes = jnp.where(sel, k, codes)
-            bestd = jnp.where(sel, dist, bestd)
+        # Direct code quantization: the 8-interp palette is (up to the +3//7
+        # floor rounding, <1 code-width apart) the uniform ladder
+        # a0 -> a1, so the nearest entry's position is
+        # m = round(7 (a0 - v) / (a0 - a1)) and the code is the position
+        # mapped through the BC4 ordering {0: a0, 7: a1, m: m+1}. One
+        # divide + compare pair replaces the 8-way abs-distance scan
+        # (~48 plane-ops -> ~8; round-4 headline work). A true f32
+        # division (not reciprocal-multiply) keeps the result independent
+        # of XLA fusion context, like the exact-integer refit below.
+        a0f = a0.astype(_F32)
+        d = jnp.maximum((a0 - a1).astype(_F32), 1.0)  # (N,)
+        m = jnp.floor((a0f[None, :] - vT) * 7.0 / d[None, :] + 0.5)
+        m = jnp.clip(m, 0.0, 7.0).astype(_I32)  # (16, N) ladder position
+        codes = jnp.where(m == 0, 0, jnp.where(m == 7, 1, m + 1))
         codes = jnp.where((a0 == a1)[None, :], 0, codes)
         return a0, a1, codes
 

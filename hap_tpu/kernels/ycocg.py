@@ -104,6 +104,22 @@ def cocgs_y_to_rgb(cocgs: jnp.ndarray, y8: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
+def cocgs_y_to_rgb_planes(cocgs: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """LANE-MAJOR twin of cocgs_y_to_rgb: ((3, 16, N) float CoCg_scale
+    planes, (16, N) float Y) -> (3, 16, N) uint8 RGB planes. Same
+    round/clip results as the interleaved path."""
+    sb = cocgs[2]  # (scale - 1) * 8 in {0, 8, 24}
+    inv2 = jnp.where(sb < 4.0, 2.0, jnp.where(sb < 16.0, 1.0, 0.5))  # 2/scale
+    co = (cocgs[0] - _OFFSET) * inv2
+    cg = (cocgs[1] - _OFFSET) * inv2
+    t = y - cg * 0.5
+    g = cg + t
+    b = t - co * 0.5
+    r = b + co
+    rgb = jnp.stack([r, g, b])
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 def rgb_to_cocgs_y_planes(rgb_planes: jnp.ndarray):
     """LANE-MAJOR twin of rgb_to_cocgs_y: (3, 16, N) uint8 RGB planes ->
     ((3, 16, N) float32 CoCg_scale planes, (16, N) float32 Y).

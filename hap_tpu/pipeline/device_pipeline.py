@@ -109,23 +109,33 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
 
 
 def _decode_blocks(codec: str, words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    if codec == "hap":
-        return blocks_to_image(bc1_decode_blocks(words)[0], h, w)
-    if codec == "hap_alpha":
-        return blocks_to_image(bc3_decode_blocks(words), h, w)
-    if codec == "hap_q":
-        from hap_tpu.kernels.bc1 import bc1_decode_blocks as _bc1_dec
-        from hap_tpu.kernels.bc4 import bc4_decode_blocks as _bc4_dec
-        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb
+    # The BC1/BC4 families run the LANE-MAJOR planar decode chain (decode
+    # twin of the planar encode path): every texel op tiles (8, 128) vregs
+    # with zero padding; the only relayouts are the (N, wpb) word-column
+    # slices at entry and the u32-compose image rebuild at exit.
+    from hap_tpu.kernels.bc1 import bc1_decode_planes
+    from hap_tpu.kernels.bc4 import bc4_decode_planes
+    from hap_tpu.kernels.layout import block_planes_to_image
 
-        # Feed the two half-decoders straight into the split-input shader —
-        # skips the interleaved (N, 16, 4) block array bc3_decode_blocks
-        # would materialize (a payload-sized relayout).
-        cocgs, _ = _bc1_dec(words[:, 2:4], dxt1_punchthrough=False)
-        y = _bc4_dec(words[:, 0:2])
-        return blocks_to_image(cocgs_y_to_rgb(cocgs, y), h, w)
+    if codec == "hap":
+        rgb, _ = bc1_decode_planes(words[:, 0], words[:, 1])
+        return block_planes_to_image(rgb.astype(jnp.uint8), h, w)
+    if codec == "hap_alpha":
+        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        rgb, _ = bc1_decode_planes(words[:, 2], words[:, 3],
+                                   dxt1_punchthrough=False)
+        planes = jnp.concatenate([rgb, a[None]]).astype(jnp.uint8)
+        return block_planes_to_image(planes, h, w)
+    if codec == "hap_q":
+        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb_planes
+
+        cocgs, _ = bc1_decode_planes(words[:, 2], words[:, 3],
+                                     dxt1_punchthrough=False)
+        y = bc4_decode_planes(words[:, 0], words[:, 1])
+        return block_planes_to_image(cocgs_y_to_rgb_planes(cocgs, y), h, w)
     if codec == "hap_alpha_only":
-        return blocks_to_image(bc4_decode_blocks(words), h, w)
+        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        return block_planes_to_image(a[None].astype(jnp.uint8), h, w)
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_decode_blocks
 
@@ -421,23 +431,42 @@ def _encode_blocks_gop(codec: str, imgs: jnp.ndarray) -> jnp.ndarray:
 
 def _decode_blocks_gop(codec: str, words: jnp.ndarray, B: int, h: int, w: int):
     """(B*N, wpb) words -> (B, H, W, C) pixels (batch folded into blocks)."""
+    from hap_tpu.kernels.bc1 import bc1_decode_planes
+    from hap_tpu.kernels.bc4 import bc4_decode_planes
+    from hap_tpu.kernels.layout import block_planes_to_image
+
     to_image = jax.vmap(partial(blocks_to_image, height=h, width=w))
 
     def unfold(blocks):
         return to_image(blocks.reshape((B, -1) + blocks.shape[1:]))
 
-    if codec == "hap":
-        return unfold(bc1_decode_blocks(words)[0])
-    if codec == "hap_alpha":
-        return unfold(bc3_decode_blocks(words))
-    if codec == "hap_q":
-        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb
+    def unfold_planes(planes):
+        # (C, 16, B*N) u8 -> per-frame planes -> images (planar decode twin)
+        c = planes.shape[0]
+        p = planes.reshape(c, 16, B, -1).transpose(2, 0, 1, 3)
+        return jax.vmap(
+            partial(block_planes_to_image, height=h, width=w)
+        )(p)
 
-        cocgs, _ = bc1_decode_blocks(words[:, 2:4], dxt1_punchthrough=False)
-        y = bc4_decode_blocks(words[:, 0:2])
-        return unfold(cocgs_y_to_rgb(cocgs, y))
+    if codec == "hap":
+        rgb, _ = bc1_decode_planes(words[:, 0], words[:, 1])
+        return unfold_planes(rgb.astype(jnp.uint8))
+    if codec == "hap_alpha":
+        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        rgb, _ = bc1_decode_planes(words[:, 2], words[:, 3],
+                                   dxt1_punchthrough=False)
+        return unfold_planes(
+            jnp.concatenate([rgb, a[None]]).astype(jnp.uint8))
+    if codec == "hap_q":
+        from hap_tpu.kernels.ycocg import cocgs_y_to_rgb_planes
+
+        cocgs, _ = bc1_decode_planes(words[:, 2], words[:, 3],
+                                     dxt1_punchthrough=False)
+        y = bc4_decode_planes(words[:, 0], words[:, 1])
+        return unfold_planes(cocgs_y_to_rgb_planes(cocgs, y))
     if codec == "hap_alpha_only":
-        return unfold(bc4_decode_blocks(words))
+        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        return unfold_planes(a[None].astype(jnp.uint8))
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_decode_blocks
 

@@ -288,3 +288,48 @@ def test_f32_reciprocal_palette_math_exhaustive():
         ref = m // div
         got = np.floor((m.astype(f32) * recip).astype(f32)).astype(np.int64)
         assert (got == ref).all(), div
+
+
+# ---------------------------------------------------------------------------
+# Planar decode twins (round 4): bit-identical to the interleaved decoders
+# ---------------------------------------------------------------------------
+
+def test_bc1_decode_planes_matches_interleaved(rng):
+    from hap_tpu.kernels.bc1 import bc1_decode_planes
+
+    words = rng.integers(0, 2**32, (512, 2), dtype=np.uint32)
+    # Force a spread of both 3- and 4-color blocks.
+    w = jnp.asarray(words)
+    for punch in (True, False):
+        rgb_i, alpha_i = bc1_decode_blocks(w, dxt1_punchthrough=punch)
+        rgb_p, opaque_p = bc1_decode_planes(w[:, 0], w[:, 1],
+                                            dxt1_punchthrough=punch)
+        # planar (3, 16, N) f32 -> interleaved (N, 16, 3) u8
+        got = np.asarray(rgb_p).astype(np.uint8).transpose(2, 1, 0)
+        np.testing.assert_array_equal(got, np.asarray(rgb_i))
+        np.testing.assert_array_equal(
+            np.asarray(opaque_p).T, np.asarray(alpha_i) == 255)
+
+
+def test_bc4_decode_planes_matches_interleaved(rng):
+    from hap_tpu.kernels.bc4 import bc4_decode_planes
+
+    words = rng.integers(0, 2**32, (512, 2), dtype=np.uint32)
+    w = jnp.asarray(words)
+    got = np.asarray(bc4_decode_planes(w[:, 0], w[:, 1])).astype(np.uint8).T
+    np.testing.assert_array_equal(got, np.asarray(bc4_decode_blocks(w)))
+
+
+def test_cocgs_y_to_rgb_planes_matches_interleaved(rng):
+    from hap_tpu.kernels.ycocg import cocgs_y_to_rgb, cocgs_y_to_rgb_planes
+
+    n = 256
+    cocgs = rng.integers(0, 256, (n, 16, 3), dtype=np.uint8)
+    cocgs[..., 2] = rng.choice([0, 8, 24], (n, 16))
+    y = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    want = np.asarray(cocgs_y_to_rgb(jnp.asarray(cocgs), jnp.asarray(y)))
+    planes = jnp.asarray(
+        cocgs.transpose(2, 1, 0).astype(np.float32))  # (3, 16, N)
+    got = np.asarray(cocgs_y_to_rgb_planes(
+        planes, jnp.asarray(y.T.astype(np.float32))))
+    np.testing.assert_array_equal(got.transpose(2, 1, 0), want)

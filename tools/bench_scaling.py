@@ -76,28 +76,37 @@ def main():
         )
         words, sse = step(blocks)
         jax.block_until_ready(words)
-        iters = 11
-        ts = []
+        step_nc = make_step_nocomm(mesh)
+        wnc, ssenc = step_nc(blocks)
+        jax.block_until_ready(wnc)
+
+        # PAIRED, INTERLEAVED A/B (round-4 fix for the r3 artifact whose
+        # 8-device row showed collectives making things *faster*): on a
+        # virtual mesh the devices share 2 physical cores, so scheduler
+        # drift between two separate timing loops swamps the collective
+        # cost. Alternating the two variants within one loop puts both in
+        # the same drift regime; the overhead estimate is the median of
+        # per-round deltas and the spread (IQR) is reported so a noisy
+        # row reads as noisy instead of as a negative overhead.
+        iters = 25
+        t_c, t_nc = [], []
         for _ in range(iters):
             t0 = time.time()
             words, sse = step(blocks)
             float(sse)  # host sync
-            ts.append(time.time() - t0)
-        dt = sorted(ts)[iters // 2]
-        fps = batch / dt
-
-        # A/B: same work without collectives -> communication overhead %.
-        step_nc = make_step_nocomm(mesh)
-        wnc, ssenc = step_nc(blocks)
-        jax.block_until_ready(wnc)
-        ts = []
-        for _ in range(iters):
+            t_c.append(time.time() - t0)
             t0 = time.time()
             wnc, ssenc = step_nc(blocks)
             jax.block_until_ready(ssenc)
-            ts.append(time.time() - t0)
-        dt_nc = sorted(ts)[iters // 2]
-        comm_overhead_pct = max(0.0, (dt - dt_nc) / dt * 100.0)
+            t_nc.append(time.time() - t0)
+        dt = float(np.median(t_c))
+        dt_nc = float(np.median(t_nc))
+        fps = batch / dt
+        deltas = np.asarray(t_c) - np.asarray(t_nc)
+        med_delta = float(np.median(deltas))
+        q1, q3 = np.percentile(deltas, [25, 75])
+        comm_overhead_pct = max(0.0, med_delta / dt * 100.0)
+        comm_overhead_iqr_pct = float((q3 - q1) / dt * 100.0)
 
         # Full pipeline (pixels -> container bytes -> pixels), pure frame DP
         # over a flat n-device mesh.
@@ -124,6 +133,8 @@ def main():
             "frames_per_s": round(fps, 1),
             "frames_per_s_nocomm": round(batch / dt_nc, 1),
             "comm_overhead_pct": round(comm_overhead_pct, 1),
+            "comm_overhead_iqr_pct": round(comm_overhead_iqr_pct, 1),
+            "reps": iters,
             "dispatches_per_step": 1,
             "full_pipeline_frames_per_s": round(ffps, 1),
         })
@@ -132,16 +143,33 @@ def main():
     summary = None
     if len(results) > 1:
         speedup = results[-1]["frames_per_s"] / results[0]["frames_per_s"]
+        # The "real-chip speedup = N x (1 - overhead)" reading is only
+        # printed when the overhead column supports it: every row's
+        # measured overhead must exceed neither its own noise band wildly
+        # nor break monotone plausibility (overhead at n devices should
+        # not be dwarfed by the row below it while its IQR is tighter).
+        ovs = [r["comm_overhead_pct"] for r in results]
+        iqrs = [r["comm_overhead_iqr_pct"] for r in results]
+        credible = all(
+            ov + iqr >= prev_ov - prev_iqr
+            for (ov, iqr, prev_ov, prev_iqr) in zip(
+                ovs[1:], iqrs[1:], ovs[:-1], iqrs[:-1])
+        )
         summary = {
             "scaling": f"{results[0]['devices']}->"
                        f"{results[-1]['devices']} devices",
             "speedup": round(speedup, 2),
+            "overhead_credible": credible,
             "interpretation": (
                 "virtual CPU devices share physical cores, so frames/s "
                 "cannot scale; the meaningful column is comm_overhead_pct "
-                "(all_gather+psum cost vs identical collective-free work) "
-                "— real-chip speedup = N x (1 - overhead), pending "
-                "multi-chip hardware"),
+                "(paired-interleaved A/B vs identical collective-free "
+                "work, median of 25 paired deltas, IQR alongside) — "
+                + ("real-chip speedup = N x (1 - overhead), pending "
+                   "multi-chip hardware"
+                   if credible else
+                   "rows are within measurement noise of each other; no "
+                   "speedup formula is claimed from this artifact")),
         }
         print(json.dumps(summary), flush=True)
 
