@@ -283,11 +283,15 @@ def _pack_indices2(codes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _quantize565_planes(e):
-    """[r, g, b] float (N,) component planes -> uint16 565 (N,)."""
+    """[r, g, b] float (N,) component planes -> int32 565 codes (N,).
+
+    int32, not uint16: 16-bit vectors crash Mosaic's layout inference on
+    this toolchain (rank-1 u16 hit `layout_rank` check aborts), and the
+    565 code fits int32 with identical bits."""
     r = jnp.round(jnp.clip(e[0], 0.0, 255.0) * (31.0 / 255.0)).astype(_I32)
     g = jnp.round(jnp.clip(e[1], 0.0, 255.0) * (63.0 / 255.0)).astype(_I32)
     b = jnp.round(jnp.clip(e[2], 0.0, 255.0) * (31.0 / 255.0)).astype(_I32)
-    return ((r << 11) | (g << 5) | b).astype(jnp.uint16)
+    return (r << 11) | (g << 5) | b
 
 
 @partial(jax.jit, static_argnames=("refine_iters",))
@@ -304,7 +308,20 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
 
 @partial(jax.jit, static_argnames=("refine_iters",))
 def bc1_encode_planes(planes: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray:
-    """(3, 16, N) float/uint8 RGB planes -> (N, 2) uint32 BC1 blocks.
+    return bc1_encode_planes_core(planes, refine_iters)
+
+
+def bc1_encode_planes_core(planes: jnp.ndarray,
+                           refine_iters: int = 2) -> jnp.ndarray:
+    return jnp.stack(bc1_encode_planes_words(planes, refine_iters), axis=1)
+
+
+def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2):
+    """(3, 16, N) float/uint8 RGB planes -> ((N,), (N,)) uint32 BC1 words.
+
+    Un-jitted tuple-returning core (no (N, 2) stack) so the fused Pallas
+    kernel (kernels/fused_hapq.py) can inline the exact same jaxpr on
+    VMEM-resident tiles and write word-planar rows.
 
     LANE-MAJOR formulation: all texel math runs on per-channel (16, N)
     planes, which tile (8, 128) vregs with zero padding — the natural
@@ -403,7 +420,11 @@ def bc1_encode_planes(planes: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
             e1n.append(jnp.where(ok, n1, e1f[ci]))
         q0, q1, codes = one_round(e0n, e1n)
 
-    shifts = (2 * jnp.arange(16, dtype=_U32))[:, None]  # (16, 1)
-    idx = jnp.sum(codes.astype(_U32) << shifts, axis=0, dtype=_U32)
-    w0 = q0.astype(_U32) | (q1.astype(_U32) << 16)
-    return jnp.stack([w0, idx], axis=1)
+    # Pack sums run in int32 (Mosaic has no unsigned reductions); int32
+    # wraparound addition is bitwise-identical to the u32 sum, and the
+    # final bitcast is free.
+    shifts = (2 * jnp.arange(16, dtype=_I32))[:, None]  # (16, 1)
+    idx = jnp.sum(codes << shifts, axis=0, dtype=_I32)
+    w0 = q0.astype(_I32) | (q1.astype(_I32) << 16)
+    return (jax.lax.bitcast_convert_type(w0, _U32),
+            jax.lax.bitcast_convert_type(idx, _U32))

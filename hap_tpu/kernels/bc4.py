@@ -182,7 +182,20 @@ def bc4_encode_blocks(values: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
 
 @partial(jax.jit, static_argnames=("refine_iters",))
 def bc4_encode_planes(plane: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
-    """(16, N) float/uint8 channel plane -> (N, 2) uint32 BC4 blocks.
+    return bc4_encode_planes_core(plane, refine_iters)
+
+
+def bc4_encode_planes_core(plane: jnp.ndarray,
+                           refine_iters: int = 1) -> jnp.ndarray:
+    return jnp.stack(bc4_encode_planes_words(plane, refine_iters), axis=1)
+
+
+def bc4_encode_planes_words(plane: jnp.ndarray, refine_iters: int = 1):
+    """(16, N) float/uint8 channel plane -> ((N,), (N,)) uint32 BC4 words.
+
+    Un-jitted tuple-returning core (no (N, 2) stack) so the fused Pallas
+    kernel (kernels/fused_hapq.py) can inline the exact same jaxpr on
+    VMEM-resident tiles and write word-planar rows.
 
     LANE-MAJOR formulation: texel math on the (16, N) plane (zero vreg
     padding; the (N, 16) form wastes 8x the lanes — see
@@ -253,34 +266,38 @@ def bc4_encode_planes(plane: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray:
         a1n = jnp.where(ok, jnp.clip(div_round(n1, dsafe), 0, 255), a1)
         a0, a1, codes = one_round(a0n.astype(_F32), a1n.astype(_F32))
 
-    return _pack_codes3_planes(codes, a0, a1)
+    return _pack_codes3_words(codes, a0, a1)
 
 
-def _pack_codes3_planes(codes: jnp.ndarray, a0: jnp.ndarray,
-                        a1: jnp.ndarray) -> jnp.ndarray:
-    """Pack 16 3-bit codes (16, N) + endpoints into (N, 2) uint32
+def _pack_codes3_words(codes: jnp.ndarray, a0: jnp.ndarray,
+                       a1: jnp.ndarray):
+    """Pack 16 3-bit codes (16, N) + endpoints into ((N,), (N,)) uint32
     (lane-major twin of _pack_codes3; per-texel shifts are per-sublane
     constants)."""
+    # Pack sums run in int32 (Mosaic has no unsigned reductions); int32
+    # wraparound addition is bitwise-identical to the u32 sum, and the
+    # final bitcast is free.
     bit = (3 * jnp.arange(16, dtype=_I32))[:, None]  # (16, 1)
-    c = codes.astype(_U32)
+    c = codes  # int32, 0..7
     lo = (
         jnp.sum(
-            jnp.where(bit <= 13, c << jnp.clip(bit, 0, 31).astype(_U32), 0),
+            jnp.where(bit <= 13, c << jnp.clip(bit, 0, 31), 0),
             axis=0,
-            dtype=_U32,
+            dtype=_I32,
         )
         & 0xFFFF
     )
-    strad = (codes[5].astype(_U32) >> 1) & 0x3
+    strad = (codes[5] >> 1) & 0x3
     hi = (
         jnp.sum(
-            jnp.where(bit >= 16, c << jnp.clip(bit - 16, 0, 31).astype(_U32), 0),
+            jnp.where(bit >= 16, c << jnp.clip(bit - 16, 0, 31), 0),
             axis=0,
-            dtype=_U32,
+            dtype=_I32,
         )
         | strad
     )
     # t=5 low bit:
-    lo = lo | ((codes[5].astype(_U32) & 0x1) << 15)
-    w0 = a0.astype(_U32) | (a1.astype(_U32) << 8) | (lo << 16)
-    return jnp.stack([w0, hi], axis=1)
+    lo = lo | ((codes[5] & 0x1) << 15)
+    w0 = a0 | (a1 << 8) | (lo << 16)
+    return (jax.lax.bitcast_convert_type(w0, _U32),
+            jax.lax.bitcast_convert_type(hi, _U32))

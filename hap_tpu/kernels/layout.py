@@ -115,6 +115,115 @@ def payload_to_words(payload: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(-1)[: n // 4]
 
 
+# ---------------------------------------------------------------------------
+# MXU lane permutations (round 4)
+#
+# Word interleave/de-interleave ((k, N) word planes <-> the (k*N,) payload
+# word stream) is a fixed periodic LANE permutation — the class of op the
+# VPU does worst (measured ~1 ms/frame at 4K via XLA relayouts) and the
+# MXU does for free: permuting 128-lane rows is a matmul with a 0/1
+# selection matrix. Operands are split into u8-valued f32 planes first, so
+# every product is exact even under the MXU's bf16 passes (each output
+# element receives exactly one nonzero product <= 255).
+# ---------------------------------------------------------------------------
+
+_IL_MATS: dict = {}
+
+
+def _interleave_mats(k: int):
+    """P_j (128, k*128) f32 one-hots: out[g, m] = W_j[g, 32q + l//k] for
+    m = 128q + l with l % k == j — i.e. out word 128k*g + m is block
+    (128g + c)'s word j."""
+    import numpy as np
+
+    if k in _IL_MATS:
+        return _IL_MATS[k]
+    assert 128 % k == 0
+    mats = []
+    for j in range(k):
+        P = np.zeros((128, k * 128), np.float32)
+        for m in range(k * 128):
+            q, l = divmod(m, 128)
+            if l % k == j:
+                P[(128 // k) * q + l // k, m] = 1.0
+        mats.append(P)
+    _IL_MATS[k] = mats
+    return mats
+
+
+_DIL_MATS: dict = {}
+
+
+def _deinterleave_mats(k: int):
+    """Q_j (k*128, 128) f32 one-hots: the exact inverse of
+    _interleave_mats — out_j[g, c] = X[g, (k*c + j) // 128, (k*c + j) % 128]
+    with X viewed as (G, k, 128)."""
+    import numpy as np
+
+    if k in _DIL_MATS:
+        return _DIL_MATS[k]
+    mats = []
+    for j in range(k):
+        Q = np.zeros((k * 128, 128), np.float32)
+        for c in range(128):
+            w = k * c + j
+            Q[128 * (w // 128) + (w % 128), c] = 1.0
+        mats.append(Q)
+    _DIL_MATS[k] = mats
+    return mats
+
+
+def interleave_words_mxu(ws) -> jnp.ndarray:
+    """k word planes ((N,) uint32 each) -> (k*N,) uint32 payload words
+    (block-major order: out[k*b + j] = ws[j][b])."""
+    import jax
+
+    k = len(ws)
+    n = ws[0].shape[0]
+    npad = -(-n // 128) * 128
+    mats = _interleave_mats(k)
+    acc = None
+    for byte in range(4):
+        tot = None
+        for j, w in enumerate(ws):
+            p = ((w >> jnp.uint32(8 * byte)) & jnp.uint32(0xFF)).astype(
+                jnp.float32)
+            if npad != n:
+                p = jnp.pad(p, (0, npad - n))
+            y = jnp.dot(p.reshape(-1, 128), mats[j],
+                        preferred_element_type=jnp.float32)
+            tot = y if tot is None else tot + y
+        b = tot.astype(jnp.int32) << (8 * byte)
+        acc = b if acc is None else acc | b
+    out = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+    return out.reshape(-1)[: k * n]
+
+
+def deinterleave_words_mxu(flat: jnp.ndarray, k: int):
+    """(k*N,) uint32 payload words -> tuple of k (N,) uint32 word planes
+    (inverse of interleave_words_mxu)."""
+    import jax
+
+    kn = flat.shape[0]
+    n = kn // k
+    npad = -(-kn // (k * 128)) * (k * 128)
+    if npad != kn:
+        flat = jnp.pad(flat, (0, npad - kn))
+    mats = _deinterleave_mats(k)
+    rows = flat.reshape(-1, k * 128)  # (G, k*128)
+    accs = [None] * k
+    for byte in range(4):
+        p = ((rows >> jnp.uint32(8 * byte)) & jnp.uint32(0xFF)).astype(
+            jnp.float32)
+        for j in range(k):
+            y = jnp.dot(p, mats[j], preferred_element_type=jnp.float32)
+            b = y.astype(jnp.int32) << (8 * byte)
+            accs[j] = b if accs[j] is None else accs[j] | b
+    return tuple(
+        jax.lax.bitcast_convert_type(a, jnp.uint32).reshape(-1)[:n]
+        for a in accs)
+
+
 def image_to_block_planes(img: jnp.ndarray) -> jnp.ndarray:
     """(H, W, C) or (H, W) -> (C, 16, N) uint8 LANE-MAJOR block planes.
 
@@ -138,6 +247,11 @@ def image_to_block_planes(img: jnp.ndarray) -> jnp.ndarray:
     if (ph, pw) != (h, w):
         img = jnp.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     bh, bw = ph // 4, pw // 4
+    # Channel deinterleave: the plain u8 transpose measures 0.19 ms/frame
+    # at 4K — an MXU one-hot-matmul variant was measured 10x SLOWER
+    # (1.99 ms: the (.., 96)-lane byte-plane reshapes it needs are
+    # themselves relayouts), unlike the word interleave below where the
+    # operands are native 128-lane rows. Keep the transpose.
     p = img.transpose(2, 0, 1)  # (C, PH, PW): the one interleaved-read
     x = p.reshape(c, bh, 4, pw)
     texels = []
@@ -169,6 +283,8 @@ def block_planes_to_image(planes: jnp.ndarray, height: int, width: int
             w32.reshape(c, bh, bw)[..., None], jnp.uint8
         )  # (C, bh, bw, 1, 4)
         rows.append(by.reshape(c, bh, pw))
+    # Channel interleave: plain transpose (see image_to_block_planes'
+    # route note — the MXU variant loses here).
     img = jnp.stack(rows, axis=2).reshape(c, ph, pw).transpose(1, 2, 0)
     img = img[:height, :width]
     return img[..., 0] if c == 1 else img

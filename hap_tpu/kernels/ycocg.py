@@ -108,6 +108,14 @@ def cocgs_y_to_rgb_planes(cocgs: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """LANE-MAJOR twin of cocgs_y_to_rgb: ((3, 16, N) float CoCg_scale
     planes, (16, N) float Y) -> (3, 16, N) uint8 RGB planes. Same
     round/clip results as the interleaved path."""
+    return cocgs_y_to_rgb_planes_f32(cocgs, y).astype(jnp.uint8)
+
+
+def cocgs_y_to_rgb_planes_f32(cocgs: jnp.ndarray, y: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """cocgs_y_to_rgb_planes before the final uint8 cast (integer-valued
+    f32 — the fused Pallas kernel casts via int32; Mosaic has no direct
+    f32 -> u8 cast)."""
     sb = cocgs[2]  # (scale - 1) * 8 in {0, 8, 24}
     inv2 = jnp.where(sb < 4.0, 2.0, jnp.where(sb < 16.0, 1.0, 0.5))  # 2/scale
     co = (cocgs[0] - _OFFSET) * inv2
@@ -117,7 +125,7 @@ def cocgs_y_to_rgb_planes(cocgs: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     b = t - co * 0.5
     r = b + co
     rgb = jnp.stack([r, g, b])
-    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.round(rgb), 0, 255)
 
 
 def rgb_to_cocgs_y_planes(rgb_planes: jnp.ndarray):

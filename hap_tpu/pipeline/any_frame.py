@@ -283,11 +283,22 @@ class ForeignGopSession:
     Frames in one decode_gop() call must share codec + dimensions +
     chunk profile (one video stream's GOP does); stage() records the
     profile so callers can group mixed streams.
+
+    Heterogeneous streams (resolution or chunk-layout changes) are
+    supported by grouping on .profile; each DISTINCT profile costs one jit
+    compilation of the fused GOP program (coarse bucketing keeps nmax/lmax
+    out of the key). ``max_profiles`` bounds the compiled-program set: when
+    more distinct profiles than that have been served, the jit caches are
+    dropped and rebuilt on demand (bounded memory; stats in
+    .compile_stats()).
     """
 
-    def __init__(self, height: int, width: int):
+    def __init__(self, height: int, width: int, max_profiles: int = 16):
         self.height = height
         self.width = width
+        self.max_profiles = max_profiles
+        self._profiles_seen = set()
+        self.cache_evictions = 0
 
     def stage(self, frame) -> StagedForeignFrame:
         from hap_tpu.container.parse import parse_frame
@@ -388,6 +399,16 @@ class ForeignGopSession:
         assert all(s.profile == prof for s in staged), (
             "decode_gop requires a uniform frame profile; group by "
             ".profile for mixed streams")
+        # Bounded compiled-program set: real players switch streams, and
+        # every distinct profile keys a fused-GOP jit entry. Past the cap
+        # the caches are dropped wholesale (jax.jit has no per-entry
+        # eviction); the next GOP of any profile recompiles once.
+        self._profiles_seen.add(prof)
+        if len(self._profiles_seen) > self.max_profiles:
+            _gop_decode_fused.clear_cache()
+            _gop_payload.clear_cache()
+            self._profiles_seen = {prof}
+            self.cache_evictions += 1
         # HBM guard: the fused program holds decoded rows + payload +
         # pixels for every frame concurrently; 16K frames fit one per
         # dispatch, not eight (measured OOM at 2x16K on a 16 GB chip).
@@ -424,6 +445,16 @@ class ForeignGopSession:
             self.height, self.width, spec.multi_texture)
         ok = jnp.asarray([s.ok_host for s in staged])
         return pixels, ok
+
+    def compile_stats(self) -> dict:
+        """Observability for the serving loop: how many fused-GOP programs
+        are live and how often the profile cap forced an eviction."""
+        return {
+            "profiles_seen": len(self._profiles_seen),
+            "compiled_programs": int(_gop_decode_fused._cache_size()),
+            "cache_evictions": self.cache_evictions,
+            "max_profiles": self.max_profiles,
+        }
 
 
 _FMT_SUBCODEC = {

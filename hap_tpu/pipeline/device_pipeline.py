@@ -62,32 +62,37 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
     # one channel transpose at entry (image_to_block_planes), then every
     # texel op tiles (8, 128) vregs with zero padding (the (N, 16, C)
     # forms waste up to ~42x the lanes; measured ~2x on 4K hap_q encode).
-    from hap_tpu.kernels.bc1 import bc1_encode_planes
-    from hap_tpu.kernels.bc4 import bc4_encode_planes
-    from hap_tpu.kernels.layout import image_to_block_planes
+    # These families return FLAT (N*wpb,) uint32 payload words: the word
+    # interleave rides the MXU as exact one-hot matmuls
+    # (layout.interleave_words_mxu, 2.7x the stack/concat relayout);
+    # BC7/BC6H return (N, wpb) — both flatten to the same payload stream.
+    from hap_tpu.kernels.bc1 import bc1_encode_planes_words
+    from hap_tpu.kernels.bc4 import bc4_encode_planes_words
+    from hap_tpu.kernels.layout import image_to_block_planes, interleave_words_mxu
 
     if codec == "hap":
-        return bc1_encode_planes(
+        return interleave_words_mxu(bc1_encode_planes_words(
             image_to_block_planes(img[..., :3]), refine_iters=_refine(effort)
-        )
+        ))
     if codec == "hap_alpha":
         planes = image_to_block_planes(img)
-        return jnp.concatenate(
-            [bc4_encode_planes(planes[3]),
-             bc1_encode_planes(planes[:3], refine_iters=_refine(effort))],
-            axis=1)
+        a0, a1 = bc4_encode_planes_words(planes[3])
+        c0, c1 = bc1_encode_planes_words(planes[:3],
+                                         refine_iters=_refine(effort))
+        return interleave_words_mxu((a0, a1, c0, c1))
     if codec == "hap_q":
         from hap_tpu.kernels.ycocg import rgb_to_cocgs_y_planes
 
         cocgs_p, y_p = rgb_to_cocgs_y_planes(
             image_to_block_planes(img[..., :3]))
-        return jnp.concatenate(
-            [bc4_encode_planes(y_p),
-             bc1_encode_planes(cocgs_p, refine_iters=_refine(effort))],
-            axis=1)
+        y0, y1 = bc4_encode_planes_words(y_p)
+        c0, c1 = bc1_encode_planes_words(cocgs_p,
+                                         refine_iters=_refine(effort))
+        return interleave_words_mxu((y0, y1, c0, c1))
     if codec == "hap_alpha_only":
         chan = img if img.ndim == 2 else img[..., -1]
-        return bc4_encode_planes(image_to_block_planes(chan)[0])
+        return interleave_words_mxu(
+            bc4_encode_planes_words(image_to_block_planes(chan)[0]))
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_encode_blocks
 
@@ -111,30 +116,37 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
 def _decode_blocks(codec: str, words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     # The BC1/BC4 families run the LANE-MAJOR planar decode chain (decode
     # twin of the planar encode path): every texel op tiles (8, 128) vregs
-    # with zero padding; the only relayouts are the (N, wpb) word-column
-    # slices at entry and the u32-compose image rebuild at exit.
+    # with zero padding. The word de-interleave rides the MXU as exact
+    # one-hot matmuls (layout.deinterleave_words_mxu — 3.7x the stride-wpb
+    # column slices it replaces); the only remaining relayout is the
+    # u32-compose image rebuild at exit.
     from hap_tpu.kernels.bc1 import bc1_decode_planes
     from hap_tpu.kernels.bc4 import bc4_decode_planes
-    from hap_tpu.kernels.layout import block_planes_to_image
+    from hap_tpu.kernels.layout import (
+        block_planes_to_image,
+        deinterleave_words_mxu,
+    )
 
     if codec == "hap":
-        rgb, _ = bc1_decode_planes(words[:, 0], words[:, 1])
+        w0, w1 = deinterleave_words_mxu(words.reshape(-1), 2)
+        rgb, _ = bc1_decode_planes(w0, w1)
         return block_planes_to_image(rgb.astype(jnp.uint8), h, w)
     if codec == "hap_alpha":
-        a = bc4_decode_planes(words[:, 0], words[:, 1])
-        rgb, _ = bc1_decode_planes(words[:, 2], words[:, 3],
-                                   dxt1_punchthrough=False)
+        a0, a1, c0, c1 = deinterleave_words_mxu(words.reshape(-1), 4)
+        a = bc4_decode_planes(a0, a1)
+        rgb, _ = bc1_decode_planes(c0, c1, dxt1_punchthrough=False)
         planes = jnp.concatenate([rgb, a[None]]).astype(jnp.uint8)
         return block_planes_to_image(planes, h, w)
     if codec == "hap_q":
         from hap_tpu.kernels.ycocg import cocgs_y_to_rgb_planes
 
-        cocgs, _ = bc1_decode_planes(words[:, 2], words[:, 3],
-                                     dxt1_punchthrough=False)
-        y = bc4_decode_planes(words[:, 0], words[:, 1])
+        y0, y1, c0, c1 = deinterleave_words_mxu(words.reshape(-1), 4)
+        cocgs, _ = bc1_decode_planes(c0, c1, dxt1_punchthrough=False)
+        y = bc4_decode_planes(y0, y1)
         return block_planes_to_image(cocgs_y_to_rgb_planes(cocgs, y), h, w)
     if codec == "hap_alpha_only":
-        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        w0, w1 = deinterleave_words_mxu(words.reshape(-1), 2)
+        a = bc4_decode_planes(w0, w1)
         return block_planes_to_image(a[None].astype(jnp.uint8), h, w)
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_decode_blocks
@@ -433,7 +445,10 @@ def _decode_blocks_gop(codec: str, words: jnp.ndarray, B: int, h: int, w: int):
     """(B*N, wpb) words -> (B, H, W, C) pixels (batch folded into blocks)."""
     from hap_tpu.kernels.bc1 import bc1_decode_planes
     from hap_tpu.kernels.bc4 import bc4_decode_planes
-    from hap_tpu.kernels.layout import block_planes_to_image
+    from hap_tpu.kernels.layout import (
+        block_planes_to_image,
+        deinterleave_words_mxu,
+    )
 
     to_image = jax.vmap(partial(blocks_to_image, height=h, width=w))
 
@@ -449,23 +464,25 @@ def _decode_blocks_gop(codec: str, words: jnp.ndarray, B: int, h: int, w: int):
         )(p)
 
     if codec == "hap":
-        rgb, _ = bc1_decode_planes(words[:, 0], words[:, 1])
+        w0, w1 = deinterleave_words_mxu(words.reshape(-1), 2)
+        rgb, _ = bc1_decode_planes(w0, w1)
         return unfold_planes(rgb.astype(jnp.uint8))
     if codec == "hap_alpha":
-        a = bc4_decode_planes(words[:, 0], words[:, 1])
-        rgb, _ = bc1_decode_planes(words[:, 2], words[:, 3],
-                                   dxt1_punchthrough=False)
+        a0, a1, c0, c1 = deinterleave_words_mxu(words.reshape(-1), 4)
+        a = bc4_decode_planes(a0, a1)
+        rgb, _ = bc1_decode_planes(c0, c1, dxt1_punchthrough=False)
         return unfold_planes(
             jnp.concatenate([rgb, a[None]]).astype(jnp.uint8))
     if codec == "hap_q":
         from hap_tpu.kernels.ycocg import cocgs_y_to_rgb_planes
 
-        cocgs, _ = bc1_decode_planes(words[:, 2], words[:, 3],
-                                     dxt1_punchthrough=False)
-        y = bc4_decode_planes(words[:, 0], words[:, 1])
+        y0, y1, c0, c1 = deinterleave_words_mxu(words.reshape(-1), 4)
+        cocgs, _ = bc1_decode_planes(c0, c1, dxt1_punchthrough=False)
+        y = bc4_decode_planes(y0, y1)
         return unfold_planes(cocgs_y_to_rgb_planes(cocgs, y))
     if codec == "hap_alpha_only":
-        a = bc4_decode_planes(words[:, 0], words[:, 1])
+        w0, w1 = deinterleave_words_mxu(words.reshape(-1), 2)
+        a = bc4_decode_planes(w0, w1)
         return unfold_planes(a[None].astype(jnp.uint8))
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_decode_blocks
