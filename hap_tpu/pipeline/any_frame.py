@@ -291,19 +291,53 @@ class ForeignGopSession:
     more distinct profiles than that have been served, the jit caches are
     dropped and rebuilt on demand (bounded memory; stats in
     .compile_stats()).
+
+    ``promote`` picks the literal-promotion policy (round-4 fix for the
+    staging-bound fresh-frame regime — r3 tuned promotion for executor
+    pieces only and inflated staged bytes on copy-heavy content):
+    "pieces" promotes at the piece-optimal threshold (best for GOPs that
+    stay device-resident and are decoded repeatedly); "auto" compiles
+    both variants and keeps, per texture, the one minimizing
+    staged_bytes * HAP_TPU_STAGE_NS_PER_BYTE (default 26 — this
+    environment's ~38 MB/s tunnel; set ~0.06 on PCIe hosts) +
+    pieces * HAP_TPU_EXEC_NS_PER_PIECE (default 80, measured executor
+    floor) — the steady-state cost of staging + decoding a fresh frame
+    once; an int pins promote_max explicitly.
     """
 
-    def __init__(self, height: int, width: int, max_profiles: int = 16):
+    def __init__(self, height: int, width: int, max_profiles: int = 16,
+                 promote="pieces"):
         self.height = height
         self.width = width
         self.max_profiles = max_profiles
+        self.promote = promote
         self._profiles_seen = set()
         self.cache_evictions = 0
+
+    def _pack(self, streams, exp, S_max):
+        import os
+
+        from hap_tpu.snappy.optable import pack_tables
+
+        if self.promote == "pieces":
+            return pack_tables(streams, exp, S_max=S_max)
+        if isinstance(self.promote, int):
+            return pack_tables(streams, exp, S_max=S_max,
+                               promote_max=self.promote)
+        p0 = pack_tables(streams, exp, S_max=S_max, promote_max=0)
+        p1 = pack_tables(streams, exp, S_max=S_max)
+        ns_b = float(os.environ.get("HAP_TPU_STAGE_NS_PER_BYTE", "26"))
+        ns_p = float(os.environ.get("HAP_TPU_EXEC_NS_PER_PIECE", "80"))
+
+        def cost(p):
+            staged = p.ops.nbytes + p.lit.nbytes
+            return staged * ns_b + float(p.n_ops.sum()) * ns_p
+
+        return p0 if cost(p0) <= cost(p1) else p1
 
     def stage(self, frame) -> StagedForeignFrame:
         from hap_tpu.container.parse import parse_frame
         from hap_tpu.pipeline.codecs import codec_for_frame
-        from hap_tpu.snappy.optable import pack_tables
 
         frame = bytes(frame)
         spec = codec_for_frame(frame)
@@ -349,7 +383,7 @@ class ForeignGopSession:
                 else:
                     streams.append(b"")
                     exp.append(0)
-            p = pack_tables(streams, exp, S_max=S_max)
+            p = self._pack(streams, exp, S_max)
             ok_host &= bool((p.ok | ~is_comp).all())
             # coarse buckets so same-stream frames share a profile; residual
             # mismatch is healed by device-side repadding in decode_gop
@@ -361,16 +395,24 @@ class ForeignGopSession:
             lit[:, : p.lit.shape[1]] = p.lit
             # host pre-aligns raw-chunk bytes into dense rows (a memcpy;
             # the device then does a pure elementwise where instead of
-            # byte-offset dynamic slices, which lower catastrophically)
+            # byte-offset dynamic slices, which lower catastrophically).
+            # PACKED (round 4): only the raw chunks' rows are staged
+            # ((R, S_max) + a (C,) row map gathered on device) — the r3
+            # dense (C, S_max) form shipped a zero row per Snappy chunk,
+            # which dominated natural/noise staging volume (the fresh-
+            # frame serving regime is staging-bound through this tunnel).
             raw_rows = None
             if all_uniform and not is_comp.all():
-                rr = np.zeros((len(csizes), S_max), np.uint8)
-                for i in range(len(csizes)):
-                    if not is_comp[i]:
-                        o = int(tex.chunk_compressed_offsets[i])
-                        n = int(csizes[i])
-                        rr[i, :n] = frame_np[o: o + n]
-                raw_rows = jnp.asarray(rr)
+                ridx = np.nonzero(~is_comp)[0]
+                rpad = -(-len(ridx) // 4) * 4  # small bucket for profiles
+                rp = np.zeros((rpad, S_max), np.uint8)
+                rmap = np.zeros(len(csizes), np.int32)
+                for k, i in enumerate(ridx):
+                    o = int(tex.chunk_compressed_offsets[i])
+                    n = int(csizes[i])
+                    rp[k, :n] = frame_np[o: o + n]
+                    rmap[i] = k
+                raw_rows = (jnp.asarray(rp), jnp.asarray(rmap))
             per_texture.append((
                 jnp.asarray(ops), jnp.asarray(p.n_ops), jnp.asarray(lit),
                 jnp.asarray(p.out_len),
@@ -492,11 +534,20 @@ def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
         comp_off = jnp.stack(co_l)
         out_off = jnp.stack(uo_l)
         is_comp = jnp.stack(ic_l)
-        raw_rows = jnp.stack(rr_l) if rr_l is not None else None
+        if rr_l is not None:
+            # packed raw rows: repad to the GOP max R device-side (R is
+            # deliberately NOT in the profile) and stack the row maps.
+            rmax_g = max(r[0].shape[0] for r in rr_l)
+            raw_packed = jnp.stack([
+                jnp.pad(r[0], ((0, rmax_g - r[0].shape[0]), (0, 0)))
+                for r in rr_l])
+            raw_map = jnp.stack([r[1] for r in rr_l])
+        else:
+            raw_packed = raw_map = None
         fstack = jnp.stack(frames) if frames is not None else None
         payload = _gop_payload(
             fstack, ops, n_ops, lit, out_len, comp_off, out_off,
-            is_comp, raw_rows, S_max, total, C)
+            is_comp, raw_packed, raw_map, S_max, total, C)
         sub, wpb = _FMT_SUBCODEC[fmt.name]
 
         def one(pay, sub=sub, wpb=wpb):
@@ -515,15 +566,18 @@ def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
 
 @partial(jax.jit, static_argnames=("S_max", "total", "C"))
 def _gop_payload(frames, ops, n_ops, lit, out_len, comp_off, out_off,
-                 is_comp, raw_rows, S_max: int, total: int, C: int):
+                 is_comp, raw_packed, raw_map, S_max: int, total: int,
+                 C: int):
     """All frames' chunk streams through ONE executor call + payload fold.
 
     ops (N*C, ...) concatenated chunk tables. Returns (N, total) u8.
     Three payload shapes (host-chosen at stage time):
-    * uniform, all-snappy (frames is None, raw_rows None): the decoded
+    * uniform, all-snappy (frames is None, raw_packed None): the decoded
       rows ARE the payload — pure reshape;
-    * uniform with raw chunks (raw_rows (N, C, S_max), host-prealigned):
-      one elementwise where — no on-device byte shuffling at all;
+    * uniform with raw chunks (raw_packed (N, R, S_max) holding ONLY the
+      raw chunks' bytes + raw_map (N, C) row indices): a row gather +
+      one elementwise where — no on-device byte shuffling, and the
+      staged volume is the raw bytes, not a dense (C, S_max) plane;
     * non-uniform foreign layout (frames (N, F)): general scan stitch.
     """
     from hap_tpu.snappy.pallas_exec import execute_op_tables
@@ -532,8 +586,9 @@ def _gop_payload(frames, ops, n_ops, lit, out_len, comp_off, out_off,
     dec = execute_op_tables(ops, n_ops, lit, out_len, S_max)  # (N*C, S_max)
     dec = dec.reshape(N, C, S_max)
     if frames is None:
-        if raw_rows is not None:
-            dec = jnp.where(is_comp[:, :, None], dec, raw_rows)
+        if raw_packed is not None:
+            rows = jax.vmap(lambda rp, m: rp[m])(raw_packed, raw_map)
+            dec = jnp.where(is_comp[:, :, None], dec, rows)
         return dec.reshape(N, C * S_max)[:, :total]
 
     def stitch_one(args):
