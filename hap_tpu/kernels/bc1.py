@@ -306,17 +306,20 @@ def bc1_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray
         pixels.astype(_F32).transpose(2, 1, 0), refine_iters)
 
 
-@partial(jax.jit, static_argnames=("refine_iters",))
-def bc1_encode_planes(planes: jnp.ndarray, refine_iters: int = 2) -> jnp.ndarray:
-    return bc1_encode_planes_core(planes, refine_iters)
+@partial(jax.jit, static_argnames=("refine_iters", "candidates"))
+def bc1_encode_planes(planes: jnp.ndarray, refine_iters: int = 2,
+                      candidates: bool = False) -> jnp.ndarray:
+    return bc1_encode_planes_core(planes, refine_iters, candidates)
 
 
-def bc1_encode_planes_core(planes: jnp.ndarray,
-                           refine_iters: int = 2) -> jnp.ndarray:
-    return jnp.stack(bc1_encode_planes_words(planes, refine_iters), axis=1)
+def bc1_encode_planes_core(planes: jnp.ndarray, refine_iters: int = 2,
+                           candidates: bool = False) -> jnp.ndarray:
+    return jnp.stack(
+        bc1_encode_planes_words(planes, refine_iters, candidates), axis=1)
 
 
-def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2):
+def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2,
+                            candidates: bool = False):
     """(3, 16, N) float/uint8 RGB planes -> ((N,), (N,)) uint32 BC1 words.
 
     Un-jitted tuple-returning core (no (N, 2) stack) so the fused Pallas
@@ -353,6 +356,24 @@ def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2):
     e0 = [m + vc * tmax for m, vc in zip(means, v)]  # e0 = high end
     e1 = [m + vc * tmin for m, vc in zip(means, v)]
     spx = [m * 16.0 for m in means]  # exact: /16 then *16
+
+    def sse_of(q0, q1, codes):
+        """Exact-decode SSE of a candidate (same f32 floor palette math
+        as the decoder)."""
+        p0 = expand565(q0)
+        p1 = expand565(q1)
+        ca = jnp.where(
+            codes == 0, 3.0,
+            jnp.where(codes == 2, 2.0, jnp.where(codes == 3, 1.0, 0.0)))
+        acc = None
+        for ci in range(3):
+            val = jnp.floor(
+                (ca * p0[ci].astype(_F32)[None, :]
+                 + (3.0 - ca) * p1[ci].astype(_F32)[None, :] + 1.0)
+                * (1.0 / 3.0))
+            dd = ch[ci] - val
+            acc = dd * dd if acc is None else acc + dd * dd
+        return jnp.sum(acc, axis=0)  # (N,)
 
     def one_round(e0, e1):
         q0 = _quantize565_planes(e0)
@@ -394,6 +415,25 @@ def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2):
         return q0, q1, codes
 
     q0, q1, codes = one_round(e0, e1)
+    err = None
+    if candidates:
+        # Endpoint-SHRINK candidates on the principal-axis interval,
+        # exact-decode adjudicated (same finding as BC4: centered
+        # distributions want the endpoints pulled inward —
+        # tools/eval_bcn_optimal.py measured the extremes seed ~1-1.9 dB
+        # off the cluster-fit bound). OPT-IN via effort="best".
+        err = sse_of(q0, q1, codes)
+        trange = tmax - tmin
+        for f in (1.0 / 6.0, 2.0 / 6.0):
+            e0c = [m + vc * (tmax - trange * f) for m, vc in zip(means, v)]
+            e1c = [m + vc * (tmin + trange * f) for m, vc in zip(means, v)]
+            q0c, q1c, cc = one_round(e0c, e1c)
+            ec = sse_of(q0c, q1c, cc)
+            take = ec < err
+            q0 = jnp.where(take, q0c, q0)
+            q1 = jnp.where(take, q1c, q1)
+            codes = jnp.where(take[None, :], cc, codes)
+            err = jnp.minimum(err, ec)
     for _ in range(refine_iters):
         is1 = (codes == 1).astype(_F32)
         is2 = (codes == 2).astype(_F32)
@@ -418,7 +458,18 @@ def bc1_encode_planes_words(planes: jnp.ndarray, refine_iters: int = 2):
             n1 = (alpha * r1 - beta * r0) * inv_det
             e0n.append(jnp.where(ok, n0, e0f[ci]))
             e1n.append(jnp.where(ok, n1, e1f[ci]))
-        q0, q1, codes = one_round(e0n, e1n)
+        q0r, q1r, codes_r = one_round(e0n, e1n)
+        if candidates:
+            # the quantized refit can regress from a shrunk-candidate
+            # start; keep it only where exact-decode SSE improves
+            er = sse_of(q0r, q1r, codes_r)
+            take = er < err
+            q0 = jnp.where(take, q0r, q0)
+            q1 = jnp.where(take, q1r, q1)
+            codes = jnp.where(take[None, :], codes_r, codes)
+            err = jnp.minimum(err, er)
+        else:
+            q0, q1, codes = q0r, q1r, codes_r
 
     # Pack sums run in int32 (Mosaic has no unsigned reductions); int32
     # wraparound addition is bitwise-identical to the u32 sum, and the

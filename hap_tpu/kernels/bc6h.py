@@ -213,21 +213,25 @@ def f32_to_half_bits(x: jnp.ndarray) -> jnp.ndarray:
 # Mode-11 encoder (10.10 untransformed, one subset, 4-bit indices).
 # ---------------------------------------------------------------------------
 
-def _quantize10_unsigned(h: jnp.ndarray) -> jnp.ndarray:
-    """Half bits (int32, finite, non-negative) -> 10-bit endpoint.
+def _quantize_ep_unsigned(h: jnp.ndarray, epb: int = 10) -> jnp.ndarray:
+    """Half bits (int32, finite, non-negative) -> epb-bit endpoint.
 
     The decode path is half_bits = finish(unquantize(q)) = (unq * 31) >> 6,
     so the quantizer targets unq ~= h * 64 / 31, then inverts the
-    unquantize map (((q << 16) + 0x8000) >> 10) with a +-1 local search on
+    unquantize map (((q << 16) + 0x8000) >> epb) with a +-1 local search on
     the true end-to-end error.
     """
+    full = (1 << epb) - 1
     target = (h * 64 + 15) // 31
-    q = (target << 10) // 0x10000
+    if epb >= 15:
+        q = target  # unquantize is identity at >= 15 bits
+    else:
+        q = (target << epb) // 0x10000
     best = None
     best_err = None
     for dq in (0, 1, 2):
-        qq = jnp.clip(q + dq, 0, 1023)
-        rec = _finish(_unquantize(qq, 10, False), False)
+        qq = jnp.clip(q + dq, 0, full)
+        rec = _finish(_unquantize(qq, epb, False), False)
         err = jnp.abs(rec - h)
         if best is None:
             best, best_err = qq, err
@@ -238,18 +242,26 @@ def _quantize10_unsigned(h: jnp.ndarray) -> jnp.ndarray:
     return best
 
 
-def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
-    """Signed half value-int (sign * magnitude-bits) -> signed 10-bit
-    endpoint in [-511, 511], inverting the signed decode chain
-    finish(unquantize(q, 10, True), True) with a +-1 local search."""
+def _quantize10_unsigned(h: jnp.ndarray) -> jnp.ndarray:
+    return _quantize_ep_unsigned(h, 10)
+
+
+def _quantize_ep_signed(v: jnp.ndarray, epb: int = 10) -> jnp.ndarray:
+    """Signed half value-int (sign * magnitude-bits) -> signed epb-bit
+    endpoint, inverting the signed decode chain
+    finish(unquantize(q, epb, True), True) with a +-1 local search."""
+    full = (1 << (epb - 1)) - 1
     m = jnp.abs(v)
     target = (m * 32 + 15) // 31  # invert finish: (|x| * 31) >> 5
-    q = (target << 9) // 0x8000  # invert unquantize: (|q| << 15) >> 9
+    if epb >= 16:
+        q = target
+    else:
+        q = (target << (epb - 1)) // 0x8000  # invert unquantize
     best = None
     best_err = None
     for dq in (0, 1, 2):
-        qq = jnp.clip(q + dq, 0, 511)
-        rec = _finish(_unquantize(qq, 10, True), True) & 0x7FFF
+        qq = jnp.clip(q + dq, 0, full)
+        rec = _finish(_unquantize(qq, epb, True), True) & 0x7FFF
         err = jnp.abs(rec - m)
         if best is None:
             best, best_err = qq, err
@@ -260,11 +272,15 @@ def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(v < 0, -best, best)
 
 
-def _palette16(q0, q1, signed):
+def _quantize10_signed(v: jnp.ndarray) -> jnp.ndarray:
+    return _quantize_ep_signed(v, 10)
+
+
+def _palette16(q0, q1, signed, epb: int = 10):
     """Endpoints (N, 3) -> decoded palette (N, 16, 3) in the signed
     value-int domain (sign * half-magnitude) — exact decoder semantics."""
-    u0 = _unquantize(q0, 10, signed)[:, None, :]
-    u1 = _unquantize(q1, 10, signed)[:, None, :]
+    u0 = _unquantize(q0, epb, signed)[:, None, :]
+    u1 = _unquantize(q1, epb, signed)[:, None, :]
     pal = []
     for k in range(16):
         w = int(_W4[k])
@@ -275,11 +291,11 @@ def _palette16(q0, q1, signed):
     return jnp.concatenate(pal, axis=1)  # (N, 16, 3)
 
 
-def _assign16(h, q0, q1, signed):
+def _assign16(h, q0, q1, signed, epb: int = 10):
     """Nearest palette index per texel under exact decode semantics.
 
     Returns (codes (N, 16) int32, per-block SSE (N,) float32)."""
-    pal = _palette16(q0, q1, signed)
+    pal = _palette16(q0, q1, signed, epb)
     best_idx = jnp.zeros(h.shape[:2], _I32)
     best_err = None
     for k in range(16):
@@ -295,24 +311,52 @@ def _assign16(h, q0, q1, signed):
 
 
 def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarray:
-    """Shared mode-11 core. h: (N, 16, 3) int32 signed value-ints
-    (sign * half-magnitude — the domain the decode chain interpolates in,
-    non-negative when signed=False). Returns (N, 4) uint32 blocks.
+    return _encode_single_region(h, signed, refine_iters, 0x03)
+
+
+def _encode_single_region(h: jnp.ndarray, signed: bool, refine_iters: int,
+                          mode_key: int) -> jnp.ndarray:
+    """Single-region encoder core for mode 11 (0x03, 10.10 untransformed)
+    and the DELTA modes 0x07 (11.9) and 0x0B (12.8) — round-4 addition:
+    on smooth HDR the delta modes' higher base precision halves the
+    endpoint quantization step, and their delta fields almost always fit
+    (tools/eval_bc7m7_bc6hdelta.py measured 89-100% feasibility on the
+    anchor classes; infeasible deltas are CLAMPED, producing a valid but
+    worse block that exact-decode adjudication discards).
+
+    h: (N, 16, 3) int32 signed value-ints (sign * half-magnitude — the
+    domain the decode chain interpolates in, non-negative when
+    signed=False). Returns (N, 4) uint32 blocks.
 
     Endpoints from the block's PRINCIPAL AXIS, not per-channel min/max:
-    mode 11 shares ONE texel index across channels, so box-corner endpoints
-    collapse catastrophically on anti-correlated channels (a texel wanting
-    index 15 in R and 0 in G). PCA endpoints + least-squares refit rounds,
-    same recipe as the BC1 encoder (kernels/bc1.py).
+    these modes share ONE texel index across channels, so box-corner
+    endpoints collapse catastrophically on anti-correlated channels (a
+    texel wanting index 15 in R and 0 in G). PCA endpoints + least-squares
+    refit rounds, same recipe as the BC1 encoder (kernels/bc1.py).
     """
     from hap_tpu.kernels.bc1 import _fit_endpoints_ls, _principal_axis
 
+    cfg = MODES6[mode_key]
+    epb, delta = cfg["epb"], cfg["delta"]
     n = h.shape[0]
     lo, hi = (-0x7BFF, 0x7BFF) if signed else (0, 0x7BFF)
-    quant = _quantize10_signed if signed else _quantize10_unsigned
+    quant = (_quantize_ep_signed if signed else _quantize_ep_unsigned)
+    ep_lo = -((1 << (epb - 1)) - 1) if signed else 0
+    ep_hi = (1 << (epb - 1)) - 1 if signed else (1 << epb) - 1
 
-    def q_of(e):
-        return quant(jnp.clip(jnp.round(e), lo, hi).astype(_I32))
+    def clamp_delta(q0, q1):
+        if delta is None:
+            return q1
+        db = delta[0]
+        # symmetric range so the anchor endpoint swap (d -> -d) stays legal
+        half = (1 << (db - 1)) - 1
+        d = jnp.clip(q1 - q0, -half, half)
+        return jnp.clip(q0 + d, ep_lo, ep_hi)
+
+    def q_of_pair(e0, e1):
+        q0 = quant(jnp.clip(jnp.round(e0), lo, hi).astype(_I32), epb)
+        q1 = quant(jnp.clip(jnp.round(e1), lo, hi).astype(_I32), epb)
+        return q0, clamp_delta(q0, q1)
 
     px = h.astype(jnp.float32)
     axis = _principal_axis(px)
@@ -320,16 +364,16 @@ def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarr
     t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
     e0 = mean + axis * jnp.min(t, axis=1)[:, None]
     e1 = mean + axis * jnp.max(t, axis=1)[:, None]
-    q0, q1 = q_of(e0), q_of(e1)
-    codes, err = _assign16(h, q0, q1, signed)
+    q0, q1 = q_of_pair(e0, e1)
+    codes, err = _assign16(h, q0, q1, signed, epb)
 
     # Second seed: per-channel min/max box corners — better than the PCA
     # line on decorrelated-noise blocks (the cloud has no dominant axis).
     # Keep whichever reconstructs better under exact decode semantics.
     e0b = jnp.min(px, axis=1)
     e1b = jnp.max(px, axis=1)
-    q0b, q1b = q_of(e0b), q_of(e1b)
-    codes_b, err_b = _assign16(h, q0b, q1b, signed)
+    q0b, q1b = q_of_pair(e0b, e1b)
+    codes_b, err_b = _assign16(h, q0b, q1b, signed, epb)
 
     take_b = err_b < err
     q0 = jnp.where(take_b[:, None], q0b, q0)
@@ -337,6 +381,7 @@ def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarr
     codes = jnp.where(take_b[:, None], codes_b, codes)
     e0 = jnp.where(take_b[:, None], e0b, e0)
     e1 = jnp.where(take_b[:, None], e1b, e1)
+    err = jnp.minimum(err, err_b)
 
     spx = jnp.sum(px, axis=1)
     for _ in range(refine_iters):
@@ -346,8 +391,8 @@ def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarr
         for k in range(1, 16):
             w = jnp.where(codes == k, float(_W4[k]) / 64.0, w)
         e0n, e1n = _fit_endpoints_ls(px, w, e0, e1, spx)
-        q0n, q1n = q_of(e0n), q_of(e1n)
-        codes_n, err_n = _assign16(h, q0n, q1n, signed)
+        q0n, q1n = q_of_pair(e0n, e1n)
+        codes_n, err_n = _assign16(h, q0n, q1n, signed, epb)
         # quantized refit can regress; keep it only where it helps
         take = err_n < err
         q0 = jnp.where(take[:, None], q0n, q0)
@@ -358,7 +403,8 @@ def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarr
         err = jnp.minimum(err, err_n)
 
     # Anchor rule: texel 0 index MSB must be 0 (palette is weight-symmetric,
-    # w[15-k] == 64 - w[k], so the swap is exact).
+    # w[15-k] == 64 - w[k], so the swap is exact; the delta range was kept
+    # symmetric above so the swapped pair's delta still fits).
     swap = codes[:, 0] >= 8
     codes = jnp.where(swap[:, None], 15 - codes, codes)
     q0s = jnp.where(swap[:, None], q1, q0)
@@ -374,12 +420,29 @@ def _encode_mode11(h: jnp.ndarray, signed: bool, refine_iters: int) -> jnp.ndarr
             bits = bits.at[:, w_ + 1].set(bits[:, w_ + 1] | (vals >> (32 - b)))
         return bits
 
-    bits = set_bits(bits, 0, 5, jnp.full(n, 0x03, _I32))  # mode 11 marker
+    bits = set_bits(bits, 0, 5, jnp.full(n, mode_key, _I32))
     posn = 5
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
-    for c in range(3):
-        bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
+    if delta is None:
+        for c in range(3):
+            bits = set_bits(bits, posn, 10, q0s[:, c]); posn += 10
+        for c in range(3):
+            bits = set_bits(bits, posn, 10, q1s[:, c]); posn += 10
+    else:
+        # pack base endpoints + deltas through the mode's layout table
+        # (delta fields store q1 - q0 in two's complement)
+        field_src = {}
+        for ci, cn in enumerate("rgb"):
+            field_src[cn + "w"] = q0s[:, ci]
+            field_src[cn + "x"] = q1s[:, ci] - q0s[:, ci]
+        for (name, flo, nbits, rev) in cfg["layout"]:
+            v = (field_src[name] >> flo) & ((1 << nbits) - 1)
+            if rev and nbits > 1:
+                rv = jnp.zeros_like(v)
+                for i in range(nbits):
+                    rv = rv | (((v >> i) & 1) << (nbits - 1 - i))
+                v = rv
+            bits = set_bits(bits, posn, nbits, v)
+            posn += nbits
     bits = set_bits(bits, posn, 3, codes[:, 0]); posn += 3
     for t_ in range(1, 16):
         bits = set_bits(bits, posn, 4, codes[:, t_]); posn += 4
@@ -612,20 +675,31 @@ def _to_value_int(half_bits, signed):
 def bc6h_encode_blocks_adaptive(
     half_bits: jnp.ndarray, signed: bool = False, refine_iters: int = 1
 ) -> jnp.ndarray:
-    """Adaptive mode-11 / mode-0x1E encoder: both candidates are built,
-    DECODED with the real decoder, and the lower exact-SSE block wins —
-    two-subset wins on two-population blocks (graphics-class HDR), the
-    10-bit single line on smooth gradients."""
+    """Adaptive single-region / two-subset encoder: candidates are mode 11
+    (10.10), the DELTA modes 0x07 (11.9) and 0x0B (12.8) — round-4
+    addition; their higher base precision wins on smooth HDR where the
+    deltas fit — and the two-subset mode 0x1E. Every candidate is DECODED
+    with the real decoder and the lowest exact-SSE block wins."""
     hb = half_bits.astype(_I32)
     if signed:
         m = jnp.clip(hb & 0x7FFF, 0, 0x7BFF)
         h = jnp.where(hb >= 0x8000, -m, m)
     else:
         h = jnp.clip(hb, 0, 0x7BFF)
-    w11 = _encode_mode11(h, signed=signed, refine_iters=refine_iters)
-    w2s = _encode_mode1E(h, signed=signed)
-    d11 = _to_value_int(bc6h_decode_blocks(w11, signed=signed), signed)
-    d2s = _to_value_int(bc6h_decode_blocks(w2s, signed=signed), signed)
-    e11 = jnp.sum((d11 - h).astype(jnp.float32) ** 2, axis=(1, 2))
-    e2s = jnp.sum((d2s - h).astype(jnp.float32) ** 2, axis=(1, 2))
-    return jnp.where((e2s < e11)[:, None], w2s, w11)
+
+    def sse_of(w):
+        d = _to_value_int(bc6h_decode_blocks(w, signed=signed), signed)
+        return jnp.sum((d - h).astype(jnp.float32) ** 2, axis=(1, 2))
+
+    best_w = _encode_mode11(h, signed=signed, refine_iters=refine_iters)
+    best_e = sse_of(best_w)
+    for cand in (
+        _encode_single_region(h, signed, refine_iters, 0x07),
+        _encode_single_region(h, signed, refine_iters, 0x0B),
+        _encode_mode1E(h, signed=signed),
+    ):
+        e = sse_of(cand)
+        take = (e < best_e)[:, None]
+        best_w = jnp.where(take, cand, best_w)
+        best_e = jnp.minimum(best_e, e)
+    return best_w

@@ -573,6 +573,187 @@ def bc7_encode_blocks_mode1(
 
 
 # ---------------------------------------------------------------------------
+# Mode-7 encoder: 2 subsets, RGBA 5.5.5.5 + a P-bit per ENDPOINT, 2-bit
+# indices over 64 partition shapes — the mode for two-population RGBA
+# blocks whose alpha edge follows the color edge (sprite cutouts, matted
+# overlays): mode 1 cannot represent their alpha at all and mode 5's
+# single color line blurs the two populations. Round-4 adjudication
+# (tools/eval_bc7m7_bc6hdelta.py): idealized mode-7 bound showed
+# +1.5-1.8 dB over the shipped 1/5/6 set on such content.
+# ---------------------------------------------------------------------------
+
+
+def _quant_55p_own(e: jnp.ndarray):
+    """Quantize (N, 4) float RGBA endpoint to 5 bits + its OWN P bit.
+
+    Both P values are tried and the joint 4-channel error decides.
+    Returns (q, recon, p) with recon the decoder-exact 8-bit value
+    (v6 = (q << 1) | p, unquant depth 6)."""
+    cands = []
+    for p in (0, 1):
+        pv = jnp.full(e.shape[0], p, _I32)
+        v6_ideal = jnp.clip(e, 0.0, 255.0) * (63.0 / 255.0)
+        q = jnp.clip(jnp.round((v6_ideal - pv[:, None]) / 2.0), 0, 31).astype(_I32)
+        r = _unquant((q << 1) | pv[:, None], 6)
+        err = jnp.sum((r.astype(jnp.float32) - e) ** 2, axis=-1)
+        cands.append((err, q, r, pv))
+    use1 = cands[1][0] < cands[0][0]
+    out = []
+    for a, b in zip(cands[0][1:], cands[1][1:]):
+        sel = use1[:, None] if a.ndim == 2 else use1
+        out.append(jnp.where(sel, b, a))
+    return tuple(out)  # q, recon, p
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "kmeans_iters"))
+def bc7_encode_blocks_mode7(
+    pixels: jnp.ndarray, refine_iters: int = 1, kmeans_iters: int = 3
+) -> jnp.ndarray:
+    """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 mode-7 blocks.
+
+    Same skeleton as mode 1 (2-means RGBA clustering -> nearest 2-subset
+    partition -> masked PCA seeds -> LS refine) with RGBA endpoints and
+    2-bit indices; each endpoint picks its own P bit.
+    """
+    px = pixels.astype(jnp.float32)  # all 4 channels
+    n = px.shape[0]
+
+    mean, axis = _masked_principal_axis(px, jnp.ones((n, 16), jnp.float32))
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    med = jnp.median(t, axis=1, keepdims=True)
+    assign = (t > med).astype(jnp.float32)
+    for _ in range(kmeans_iters):
+        c1 = jnp.sum(px * assign[..., None], axis=1) / jnp.maximum(
+            jnp.sum(assign, axis=1), 1.0)[:, None]
+        c0 = jnp.sum(px * (1.0 - assign)[..., None], axis=1) / jnp.maximum(
+            jnp.sum(1.0 - assign, axis=1), 1.0)[:, None]
+        d0 = jnp.sum((px - c0[:, None, :]) ** 2, axis=-1)
+        d1 = jnp.sum((px - c1[:, None, :]) ** 2, axis=-1)
+        assign = (d1 < d0).astype(jnp.float32)
+
+    pt = jnp.asarray(PARTITIONS2, jnp.float32)
+    ones_p = jnp.sum(pt, axis=1)
+    overlap = assign @ pt.T
+    ones_a = jnp.sum(assign, axis=1, keepdims=True)
+    ham = ones_a + ones_p[None, :] - 2.0 * overlap
+    ham = jnp.minimum(ham, 16.0 - ham)
+    partition = jnp.argmin(ham, axis=1).astype(_I32)
+
+    onehot = jax.nn.one_hot(partition, 64, dtype=jnp.float32)
+    subset = jnp.round(onehot @ pt).astype(_I32)
+    anchor2 = jnp.round(
+        onehot @ jnp.asarray(ANCHOR2_2, jnp.float32)).astype(_I32)
+    masks = [(subset == s).astype(jnp.float32) for s in (0, 1)]
+
+    seeds = []
+    for m in masks:
+        smean, saxis = _masked_principal_axis(px, m)
+        st = jnp.sum((px - smean[:, None, :]) * saxis[:, None, :], axis=-1)
+        stm = jnp.where(m > 0, st, jnp.inf)
+        stx = jnp.where(m > 0, st, -jnp.inf)
+        tmin = jnp.min(stm, axis=1)
+        tmax = jnp.max(stx, axis=1)
+        tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+        tmax = jnp.where(jnp.isfinite(tmax), tmax, 0.0)
+        seeds.append(
+            (smean + saxis * tmin[:, None], smean + saxis * tmax[:, None]))
+
+    w2f = jnp.asarray(_W2, jnp.float32) / 64.0  # (4,)
+
+    def select_codes(recon):
+        e0 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][0][:, None, :],
+            recon[1][0][:, None, :]).astype(jnp.float32)
+        e1 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][1][:, None, :],
+            recon[1][1][:, None, :]).astype(jnp.float32)
+        pal = (e0[:, :, None, :] * (1.0 - w2f)[None, None, :, None]
+               + e1[:, :, None, :] * w2f[None, None, :, None])
+        d = px[:, :, None, :] - pal
+        return jnp.argmin(jnp.sum(d * d, axis=-1), axis=-1).astype(_I32)
+
+    def quantize_all(ends):
+        out = []
+        for (e0, e1) in ends:
+            q0, r0, p0 = _quant_55p_own(e0)
+            q1, r1, p1 = _quant_55p_own(e1)
+            out.append([q0, q1, r0, r1, p0, p1])
+        return out
+
+    qs = quantize_all(seeds)
+    codes = select_codes([(q[2], q[3]) for q in qs])
+
+    ends = seeds
+    for _ in range(refine_iters):
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 4):
+            w = jnp.where(codes == k, float(_W2[k]) / 64.0, w)
+        new_ends = []
+        for s, m in enumerate(masks):
+            e0n, e1n = _masked_fit_endpoints_ls(
+                px, w, m, ends[s][0], ends[s][1])
+            new_ends.append((e0n, e1n))
+        ends = new_ends
+        qs = quantize_all(ends)
+        codes = select_codes([(q[2], q[3]) for q in qs])
+
+    # anchor fix-ups: the anchor texel's index MSB must be 0
+    q_sub = qs
+    texel = jnp.arange(16, dtype=_I32)[None, :]
+    anchors = [jnp.zeros(n, _I32), anchor2]
+    for s in (0, 1):
+        a_code = jnp.sum(
+            jnp.where(texel == anchors[s][:, None], codes, 0), axis=1)
+        swap = a_code >= 2
+        in_s = subset == s
+        codes = jnp.where(swap[:, None] & in_s, 3 - codes, codes)
+        q0, q1, r0, r1, p0, p1 = q_sub[s]
+        q_sub[s] = [jnp.where(swap[:, None], q1, q0),
+                    jnp.where(swap[:, None], q0, q1), r0, r1,
+                    jnp.where(swap, p1, p0), jnp.where(swap, p0, p1)]
+
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w, b = start // 32, start % 32
+        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 8, jnp.full(n, 0x80, _I32))  # mode 7 marker
+    bits = set_bits(bits, 8, 6, partition)
+    posn = 14
+    # Endpoint order: R x4 (s0e0, s0e1, s1e0, s1e1), G x4, B x4, A x4.
+    for c in range(4):
+        for s in (0, 1):
+            for e in (0, 1):
+                bits = set_bits(bits, posn, 5, q_sub[s][e][:, c])
+                posn += 5
+    # P-bits: one per endpoint (s0e0, s0e1, s1e0, s1e1).
+    for s in (0, 1):
+        bits = set_bits(bits, posn, 1, q_sub[s][4]); posn += 1
+        bits = set_bits(bits, posn, 1, q_sub[s][5]); posn += 1
+    assert posn == 98
+
+    # Index field: width 1 at anchors (texel 0 and anchor2), 2 elsewhere;
+    # all 30 bits land in word 3 (starts at bit 96).
+    is_anchor = (texel == 0) | (texel == anchor2[:, None])
+    widths = jnp.where(is_anchor, 1, 2)
+    offs = 98 + jnp.concatenate(
+        [jnp.zeros((n, 1), _I32), jnp.cumsum(widths[:, :-1], axis=1)], axis=1)
+    vals = codes.astype(_U32)
+    rel = offs - 96
+    contrib = vals << jnp.clip(rel, 0, 31).astype(_U32)
+    acc = jnp.zeros(n, _U32)
+    for ti in range(16):
+        acc = acc | contrib[:, ti]
+    bits = bits.at[:, 3].set(bits[:, 3] | acc)
+    return bits
+
+
+# ---------------------------------------------------------------------------
 # Mode-5 encoder: 1 subset, RGB 7.7.7 with 2-bit indices + alpha 8.8 with
 # its OWN 2-bit indices — the mode that carries blocks whose alpha is
 # decorrelated from color (UI overlays, independent alpha mattes), which
@@ -710,14 +891,17 @@ def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
     """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 blocks, adaptive mode.
 
     Encodes each block in mode 6 (single subset, shared RGBA index), mode 5
-    (single subset, separate alpha index plane), and mode 1 (two subsets,
-    RGB) and keeps the lowest-SSE encoding — exact decoder semantics
-    (_decode_mode) are used for the comparison, so the chosen block is the
-    one that truly reconstructs better.
+    (single subset, separate alpha index plane), mode 1 (two subsets, RGB)
+    and mode 7 (two subsets, RGBA — round-4 addition for two-population
+    blocks whose alpha edge follows the color edge) and keeps the
+    lowest-SSE encoding — exact decoder semantics (_decode_mode) are used
+    for the comparison, so the chosen block is the one that truly
+    reconstructs better.
     """
     w6 = bc7_encode_blocks_mode6(pixels, refine_iters=refine_iters)
     w1 = bc7_encode_blocks_mode1(pixels, refine_iters=refine_iters)
     w5 = bc7_encode_blocks_mode5(pixels, refine_iters=refine_iters)
+    w7 = bc7_encode_blocks_mode7(pixels, refine_iters=refine_iters)
     pxi = pixels.astype(_I32)
 
     def sse(words, mode):
@@ -726,7 +910,7 @@ def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         return jnp.sum(d * d, axis=(1, 2))
 
     best_w, best_e = w6, sse(w6, 6)
-    for w, m in ((w1, 1), (w5, 5)):
+    for w, m in ((w1, 1), (w5, 5), (w7, 7)):
         e = sse(w, m)
         take = (e < best_e)[:, None]
         best_w = jnp.where(take, w, best_w)

@@ -385,14 +385,35 @@ class ForeignGopSession:
                     exp.append(0)
             p = self._pack(streams, exp, S_max)
             ok_host &= bool((p.ok | ~is_comp).all())
-            # coarse buckets so same-stream frames share a profile; residual
-            # mismatch is healed by device-side repadding in decode_gop
-            nmax = _ceil(max(p.ops.shape[1], 64), 2048)
-            lmax = _ceil(max(p.lit.shape[1], 128), 8192)
-            ops = np.zeros((p.ops.shape[0], nmax, 2), np.int32)
-            ops[:, : p.ops.shape[1]] = p.ops
-            lit = np.zeros((p.lit.shape[0], lmax), np.uint8)
-            lit[:, : p.lit.shape[1]] = p.lit
+            # PACKED staging (round 4): the r3 dense (C, nmax, 2) op and
+            # (C, lmax) literal planes shipped zero padding up to the
+            # LARGEST chunk's table for every chunk (8.4 MB of an 8.6 MB
+            # natural-class lit upload was zeros). Stage the concatenated
+            # true rows + per-chunk offsets; decode_gop rebuilds the dense
+            # executor layout on device (C dynamic-slice DMAs, HBM-cheap).
+            C = p.ops.shape[0]
+            nl = p.n_lit.astype(np.int64)
+            no = p.n_ops.astype(np.int64)
+            ops_off = np.zeros(C, np.int32)
+            ops_off[1:] = np.cumsum(no)[:-1]
+            lit_off = np.zeros(C, np.int32)
+            lit_off[1:] = np.cumsum(nl)[:-1]
+            ops_packed = np.zeros(
+                (_ceil(max(int(no.sum()), 1), 4096), 2), np.int32)
+            w = 0
+            for i in range(C):
+                k = int(no[i])
+                ops_packed[w:w + k] = p.ops[i, :k]
+                w += k
+            lit_packed = np.zeros(_ceil(max(int(nl.sum()), 1), 65536),
+                                  np.uint8)
+            w = 0
+            for i in range(C):
+                k = int(nl[i])
+                lit_packed[w:w + k] = p.lit[i, :k]
+                w += k
+            nops_maxlen = int(no.max(initial=1))
+            lit_maxlen = int(nl.max(initial=1))
             # host pre-aligns raw-chunk bytes into dense rows (a memcpy;
             # the device then does a pure elementwise where instead of
             # byte-offset dynamic slices, which lower catastrophically).
@@ -414,15 +435,19 @@ class ForeignGopSession:
                     rmap[i] = k
                 raw_rows = (jnp.asarray(rp), jnp.asarray(rmap))
             per_texture.append((
-                jnp.asarray(ops), jnp.asarray(p.n_ops), jnp.asarray(lit),
+                jnp.asarray(ops_packed), jnp.asarray(p.n_ops),
+                jnp.asarray(lit_packed),
                 jnp.asarray(p.out_len),
                 jnp.asarray(np.asarray(tex.chunk_compressed_offsets), _I32),
                 jnp.asarray(np.asarray(tex.chunk_uncompressed_offsets), _I32),
                 jnp.asarray(is_comp), S_max, int(tex.decoded_bytes),
                 raw_rows,
+                jnp.asarray(ops_off), jnp.asarray(lit_off),
+                nops_maxlen, lit_maxlen,
             ))
-            # nmax/lmax deliberately NOT in the profile: decode_gop repads
-            # device-side to the GOP max (cheap concat on device)
+            # packed lengths / per-chunk maxima deliberately NOT in the
+            # profile: decode_gop repads device-side to the GOP max and
+            # buckets the dense-rebuild widths (bounded recompiles)
             prof.extend([len(csizes), S_max, raw_rows is not None,
                          int(tex.decoded_bytes)])
         return StagedForeignFrame(
@@ -473,14 +498,18 @@ class ForeignGopSession:
         per_tex = []
         statics = []
         for ti, fmt in enumerate(spec.texture_formats):
-            (_o, _n, _l, _ol, _co, _uo, _ic, S_max, total, rr0) = \
-                staged[0].per_texture[ti]
+            t0 = staged[0].per_texture[ti]
+            S_max, total, rr0 = t0[7], t0[8], t0[9]
+            C = t0[4].shape[0]
+            # dense-rebuild widths: bucketed statics (bounded recompiles)
+            nmax_g = _ceil(max(s.per_texture[ti][12] for s in staged), 512)
+            lmax_g = _ceil(max(s.per_texture[ti][13] for s in staged), 8192)
             per_tex.append(tuple(
                 tuple(s.per_texture[ti][k] for s in staged)
-                for k in (0, 1, 2, 3, 4, 5, 6)
+                for k in (0, 1, 2, 3, 4, 5, 6, 10, 11)
             ) + ((tuple(s.per_texture[ti][9] for s in staged)
                   if rr0 is not None else None),))
-            statics.append((S_max, total, _o.shape[0]))
+            statics.append((S_max, total, C, nmax_g, lmax_g))
         pixels = _gop_decode_fused(
             frames, tuple(per_tex),
             tuple(statics), tuple(spec.texture_formats),
@@ -520,16 +549,39 @@ def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
 
     images = []
     for ti, fmt in enumerate(fmts):
-        S_max, total, C = statics[ti]
-        ops_l, n_l, lit_l, ol_l, co_l, uo_l, ic_l, rr_l = per_tex[ti]
-        nmax_g = max(o.shape[1] for o in ops_l)
-        lmax_g = max(l.shape[1] for l in lit_l)
-        ops = jnp.concatenate([
-            jnp.pad(o, ((0, 0), (0, nmax_g - o.shape[1]), (0, 0)))
-            for o in ops_l])
+        S_max, total, C, nmax_g, lmax_g = statics[ti]
+        (ops_l, n_l, lit_l, ol_l, co_l, uo_l, ic_l, oo_l, lo_l,
+         rr_l) = per_tex[ti]
+
+        def rebuild(packed_l, off_l, width, twod):
+            """Packed per-frame rows + per-chunk offsets -> dense
+            (N*C, width[, 2]) executor layout (C dynamic-slice DMAs per
+            frame — HBM-cheap; the packed form is what crossed the
+            host->device link)."""
+            pmax = max(x.shape[0] for x in packed_l)
+            pad2 = ((0, 0),) if twod else ()
+            pk = jnp.stack([
+                jnp.pad(x, ((0, pmax + width - x.shape[0]),) + pad2)
+                for x in packed_l])  # (N, pmax + width[, 2])
+            offs = jnp.stack(off_l)  # (N, C)
+
+            def per_frame(args):
+                p, off = args
+
+                def body(_, o):
+                    idx = (o,) + ((0,) if twod else ())
+                    sz = (width,) + ((2,) if twod else ())
+                    return None, jax.lax.dynamic_slice(p, idx, sz)
+
+                _, rows = jax.lax.scan(body, None, off)
+                return rows  # (C, width[, 2])
+
+            rows = jax.lax.map(per_frame, (pk, offs))
+            return rows.reshape((-1,) + rows.shape[2:])
+
+        ops = rebuild(ops_l, oo_l, nmax_g, True)
+        lit = rebuild(lit_l, lo_l, lmax_g, False)
         n_ops = jnp.concatenate(n_l)
-        lit = jnp.concatenate([
-            jnp.pad(l, ((0, 0), (0, lmax_g - l.shape[1]))) for l in lit_l])
         out_len = jnp.concatenate(ol_l)
         comp_off = jnp.stack(co_l)
         out_off = jnp.stack(uo_l)

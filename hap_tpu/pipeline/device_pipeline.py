@@ -53,8 +53,15 @@ def _refine(effort: str) -> int:
     """BC1 (index-select, least-squares-refit) rounds per effort level.
 
     "high" (default) runs 2 rounds; "fast" runs 1 — measured 0.03 dB PSNR
-    apart on 4K bench content for ~5% end-to-end throughput."""
-    return {"high": 2, "fast": 1}[effort]
+    apart on 4K bench content for ~5% end-to-end throughput. "best" adds
+    exact-SSE-adjudicated endpoint-shrink candidates in the BC1/BC4
+    encoders (+1.2 dB BC4-natural, ~2 ms/frame at 4K — offline-encode
+    territory; tools/eval_bcn_optimal.py has the gap-to-optimal table)."""
+    return {"best": 2, "high": 2, "fast": 1}[effort]
+
+
+def _cands(effort: str) -> bool:
+    return effort == "best"
 
 
 def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.ndarray:
@@ -72,27 +79,32 @@ def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.nd
 
     if codec == "hap":
         return interleave_words_mxu(bc1_encode_planes_words(
-            image_to_block_planes(img[..., :3]), refine_iters=_refine(effort)
+            image_to_block_planes(img[..., :3]), refine_iters=_refine(effort),
+            candidates=_cands(effort),
         ))
     if codec == "hap_alpha":
         planes = image_to_block_planes(img)
-        a0, a1 = bc4_encode_planes_words(planes[3])
+        a0, a1 = bc4_encode_planes_words(planes[3],
+                                         candidates=_cands(effort))
         c0, c1 = bc1_encode_planes_words(planes[:3],
-                                         refine_iters=_refine(effort))
+                                         refine_iters=_refine(effort),
+                                         candidates=_cands(effort))
         return interleave_words_mxu((a0, a1, c0, c1))
     if codec == "hap_q":
         from hap_tpu.kernels.ycocg import rgb_to_cocgs_y_planes
 
         cocgs_p, y_p = rgb_to_cocgs_y_planes(
             image_to_block_planes(img[..., :3]))
-        y0, y1 = bc4_encode_planes_words(y_p)
+        y0, y1 = bc4_encode_planes_words(y_p, candidates=_cands(effort))
         c0, c1 = bc1_encode_planes_words(cocgs_p,
-                                         refine_iters=_refine(effort))
+                                         refine_iters=_refine(effort),
+                                         candidates=_cands(effort))
         return interleave_words_mxu((y0, y1, c0, c1))
     if codec == "hap_alpha_only":
         chan = img if img.ndim == 2 else img[..., -1]
         return interleave_words_mxu(
-            bc4_encode_planes_words(image_to_block_planes(chan)[0]))
+            bc4_encode_planes_words(image_to_block_planes(chan)[0],
+                                    candidates=_cands(effort)))
     if codec == "hap_r":
         from hap_tpu.kernels.bc7 import bc7_encode_blocks
 

@@ -218,6 +218,7 @@ def main():
             n = 0 if s.frame_dev is None else s.frame_dev.nbytes
             for t in s.per_texture:
                 n += sum(x.nbytes for x in t[:7])
+                n += t[10].nbytes + t[11].nbytes  # ops/lit offsets
                 if t[9] is not None:  # packed raw rows + row map
                     n += t[9][0].nbytes + t[9][1].nbytes
             return n
