@@ -454,6 +454,23 @@ class ForeignGopSession:
             frame_len=len(frame), spec=spec, profile=tuple(prof),
             ok_host=ok_host, frame_dev=frame_dev, per_texture=per_texture)
 
+    def hbm_bytes_per_frame(self, staged_frame) -> int:
+        """Estimated device residency of one staged frame inside the fused
+        GOP program: decoded rows + payload + the staged packed planes +
+        the dense (C, nmax) executor layout decode_gop rebuilds on device
+        + output pixels/folds. Feeds the decode_gop HBM guard."""
+        per_frame = 0
+        for ti in range(len(staged_frame.spec.texture_formats)):
+            t = staged_frame.per_texture[ti]
+            S_max, total = t[7], t[8]
+            C = t[1].shape[0]  # n_ops is per-chunk; t[0] is the PACKED
+            # flat op array (round 4), whose row count is total ops, not C
+            nops_max, lit_max = t[12], t[13]
+            per_frame += (C * S_max * 4 + total + t[0].nbytes + t[2].nbytes
+                          + C * nops_max * 8 + C * lit_max)
+        per_frame += 4 * self.height * self.width * 4  # pixels + folds
+        return per_frame
+
     def decode_gop(self, staged: list):
         """[StagedForeignFrame] -> ((N,H,W,ch) device pixels, (N,) ok).
 
@@ -479,13 +496,7 @@ class ForeignGopSession:
         # HBM guard: the fused program holds decoded rows + payload +
         # pixels for every frame concurrently; 16K frames fit one per
         # dispatch, not eight (measured OOM at 2x16K on a 16 GB chip).
-        per_frame = 0
-        for ti in range(len(staged[0].spec.texture_formats)):
-            t = staged[0].per_texture[ti]
-            S_max, total = t[7], t[8]
-            C = t[0].shape[0]
-            per_frame += C * S_max * 4 + total + t[0].nbytes + t[2].nbytes
-        per_frame += 4 * self.height * self.width * 4  # pixels + folds
+        per_frame = self.hbm_bytes_per_frame(staged[0])
         est = per_frame * len(staged)
         if est > 12 * 2**30:
             raise ValueError(

@@ -161,6 +161,24 @@ def test_foreign_gop_session(rng):
         np.testing.assert_array_equal(got[k], wants[k])
 
 
+def test_foreign_gop_session_hbm_estimate(rng):
+    """Regression: the decode_gop HBM guard must estimate per-frame
+    residency from the CHUNK count, not the packed-plane row count (a
+    round-4 bug made 8x4K GOPs estimate 270 GiB and refuse to serve)."""
+    from hap_tpu.pipeline.any_frame import ForeignGopSession
+
+    h, w = 48, 64
+    img = _image(np.random.default_rng(3), h, w, 3)
+    frame = bytes(encode_frame(img, "hap_q", chunk_count=4))
+    sess = ForeignGopSession(h, w)
+    s = sess.stage(frame)
+    est = sess.hbm_bytes_per_frame(s)
+    # pixels/folds term alone is 4*h*w*4; everything else is bounded by a
+    # few multiples of the decoded texture (h*w bytes for hap_q at 4x4).
+    assert est >= 4 * h * w * 4
+    assert est < 4 * h * w * 4 + 64 * h * w + (1 << 20)
+
+
 def test_foreign_gop_session_multi_texture(rng):
     from hap_tpu.pipeline.any_frame import ForeignGopSession
 
