@@ -64,7 +64,53 @@ def _cands(effort: str) -> bool:
     return effort == "best"
 
 
+# Tall frames encode as row-slabs under lax.map: one giant fused encode
+# graph measures 33% worse per pixel at 16K than the same work bounded to
+# ~1080-row slabs (tools/probe_16k_slab.py: 103 -> 86 ms; decode showed
+# the OPPOSITE sign, +10 ms slabbed, so only encode slabs). Threshold is
+# module-level so tests can force slabbing at small sizes. Caveat: the
+# slab and direct graphs compile differently, so f32 near-ties in the
+# PCA/LS endpoint fits may quantize differently — payload words are
+# deterministic per (shape, threshold) but not bit-identical across the
+# threshold; quality is tied (test_slabbed_encode_quality_parity).
+_SLAB_MIN_H = 8192
+_SLAB_TARGET_ROWS = 1080
+
+
+def _slab_count(h: int) -> int:
+    """Slab count for an (h, W) encode: ~_SLAB_TARGET_ROWS rows per slab,
+    h evenly divisible, slab height a multiple of 4 (block rows). Returns
+    1 (direct path) when h is below threshold or has no even split."""
+    if h < _SLAB_MIN_H:
+        return 1
+    best = 1
+    for n in range(2, h // 4 + 1):
+        if h % n:
+            continue
+        hs = h // n
+        if hs % 4:
+            continue
+        if abs(hs - _SLAB_TARGET_ROWS) < abs(h // best - _SLAB_TARGET_ROWS):
+            best = n
+        if hs < _SLAB_TARGET_ROWS // 2:
+            break
+    return best
+
+
 def _encode_blocks(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.ndarray:
+    nslab = _slab_count(img.shape[0])
+    if nslab > 1:
+        hs = img.shape[0] // nslab
+        slabs = img.reshape((nslab, hs) + img.shape[1:])
+        words = jax.lax.map(
+            lambda s: _encode_blocks_direct(codec, s, effort), slabs)
+        # slabs are contiguous block-row ranges, so concatenation restores
+        # the full frame's row-major payload word order exactly
+        return words.reshape((-1,) + words.shape[2:])
+    return _encode_blocks_direct(codec, img, effort)
+
+
+def _encode_blocks_direct(codec: str, img: jnp.ndarray, effort: str = "high") -> jnp.ndarray:
     # hap/hap_alpha/hap_q/hap_alpha_only run the LANE-MAJOR planar chain:
     # one channel transpose at entry (image_to_block_planes), then every
     # texel op tiles (8, 128) vregs with zero padding (the (N, 16, C)

@@ -131,3 +131,38 @@ def test_roundtrip_hap_r_quality():
     assert codec_for_frame(frame).name == "hap_r"
     out = decode_frame(frame, h, w)
     assert psnr(img4, out) > 38.0
+
+
+@pytest.mark.parametrize("codec", ["hap", "hap_q", "hap_r"])
+def test_slabbed_encode_quality_parity(codec, monkeypatch):
+    """Tall frames encode as row-slabs under lax.map (a 16K perf fix,
+    tools/probe_16k_slab.py). Slab and direct graphs compile differently,
+    so f32 near-ties in PCA/LS endpoint fits may quantize differently —
+    words are NOT bit-identical across the threshold. Assert the real
+    contract instead: the slabbed encode decodes (own decoder) to the
+    same quality as the direct encode, within a tight tolerance."""
+    import jax.numpy as jnp
+
+    import hap_tpu.pipeline.device_pipeline as dp
+
+    h, w = 96, 64
+    img = make_image(h, w, 4 if codec == "hap_r" else 3, seed=11)
+    x = jnp.asarray(img)
+
+    def sse_of(words):
+        dec = np.asarray(dp._decode_blocks(codec, jnp.asarray(words), h, w))
+        return float(((dec.astype(np.int64)
+                       - img[..., : dec.shape[-1]].astype(np.int64)) ** 2
+                      ).sum())
+
+    monkeypatch.setattr(dp, "_SLAB_MIN_H", 1 << 30)
+    direct = np.asarray(dp._encode_blocks(codec, x))
+    monkeypatch.setattr(dp, "_SLAB_MIN_H", 8)
+    monkeypatch.setattr(dp, "_SLAB_TARGET_ROWS", 24)
+    assert dp._slab_count(h) > 1
+    slab = np.asarray(dp._encode_blocks(codec, x))
+    assert slab.shape == direct.shape and slab.dtype == direct.dtype
+    s_direct, s_slab = sse_of(direct), sse_of(slab)
+    # near-tie drift only: total SSE within 1% + tiny absolute slack
+    assert abs(s_slab - s_direct) <= 0.01 * s_direct + 64.0, (
+        s_direct, s_slab)

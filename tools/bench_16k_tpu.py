@@ -56,3 +56,31 @@ for _ in range(4):
 dt = min(ts)
 print(f"16K roundtrip: {dt*1000:.1f} ms/frame -> {H*W/dt/1e6:.1f} Mpix/s "
       f"(raw DXT {H*W*16/16/1e6:.1f} MB -> {int(flen)/1e6:.1f} MB)", flush=True)
+
+# --- streamed serving: double-buffered single-frame dispatches ----------
+# A 16K frame cannot batch into a GOP dispatch (HBM: pixels alone are
+# 398 MB; 2x frames measured OOM), so the sync floor (~28 ms on this
+# tunnel) is hidden the other way: keep one frame in flight and sync the
+# PREVIOUS dispatch while the next is enqueued. Honest steady-state
+# throughput: N distinct frames, wall clock over the whole stream.
+imgs = [img]
+for k in range(1, 4):
+    v = np.asarray(img)
+    v = np.roll(v, 97 * k, axis=1)
+    v[:256] = rng.integers(0, 256, (256, W, 3), dtype=np.uint8)
+    imgs.append(jax.device_put(jnp.asarray(v)))
+outs = [rt(f) for f in imgs]          # warm every input binding
+for o in outs:
+    float(o[3])
+N = 12
+t0 = time.time()
+pend = None
+for i in range(N):
+    nxt = rt(imgs[i % len(imgs)])
+    if pend is not None:
+        float(pend[3])                # sync frame i-1 with i in flight
+    pend = nxt
+float(pend[3])
+dt = (time.time() - t0) / N
+print(f"16K streamed (double-buffered): {dt*1000:.1f} ms/frame -> "
+      f"{H*W/dt/1e6:.1f} Mpix/s over {N} frames", flush=True)
