@@ -74,9 +74,10 @@ def main():
     t0 = time.time()
     out, flen, ok, cs = gop_roundtrip(batch)
     cs_host = float(cs)
+    t_first = time.time() - t0
     flens = np.asarray(flen)
     log(
-        f"compile+first run: {time.time()-t0:.1f}s ok={np.asarray(ok).tolist()} "
+        f"compile+first run: {t_first:.1f}s ok={np.asarray(ok).tolist()} "
         f"frame_len min/med/max = {flens.min()}/{int(np.median(flens))}/{flens.max()}"
     )
     assert np.asarray(ok).all()
@@ -212,6 +213,14 @@ def main():
         "cpu_anchor_mt_ms": {"encode": round(t_enc_mt * 1000, 1),
                              "decode": round(t_dec_mt * 1000, 1),
                              "threads": ncpu},
+        # Warm-start story (VERDICT r4 item 8): first dispatch cost with
+        # the persistent JAX cache in whatever state it was in. A cold
+        # cache costs minutes; tools/warm_cache.py pre-populates it for a
+        # declared serving shape set so a fresh server pays reload, not
+        # compile.
+        "first_dispatch_s": round(t_first, 1),
+        "compilation_cache": os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", ""),
     }
 
     # --- foreign-frame serving (real HapEncode streams, GOP session) ------

@@ -165,7 +165,10 @@ def main():
         sse_b = bc7_mode7_bound(blocks)
         mse_added = np.minimum(sse_ship, sse_b).mean() / (16 * 4)
         mse_bound = sse_b.mean() / (16 * 4)
-        print(f"BC7 {label}: shipped 1/5/6 = {p(mse_ship):.2f} dB; "
+        # NOTE: "shipped" is whatever bc7_encode_blocks currently is —
+        # since round 4 that INCLUDES mode 7, so the remaining "potential"
+        # is the bound's looseness, not an unimplemented mode.
+        print(f"BC7 {label}: shipped adaptive = {p(mse_ship):.2f} dB; "
               f"mode-7 UPPER BOUND alone = {p(mse_bound):.2f} dB; "
               f"adaptive+mode7 bound = {p(mse_added):.2f} dB "
               f"(potential {p(mse_added)-p(mse_ship):+.2f} dB)", flush=True)
@@ -192,7 +195,12 @@ def main():
         rel_ship = np.sqrt(((dec - ref) ** 2).mean()) / scale
         sse_ship = ((dec - ref) ** 2).sum(axis=(1, 2))
 
-        row = [f"BC6H {cls:9s}: shipped 11+1E rel-RMSE {rel_ship:.4f}"]
+        # "shipped" = current bc6h_encode_blocks_adaptive — since round 4
+        # that INCLUDES delta modes 0x07/0x0B. Residual gap vs the bounds
+        # is bound looseness: the bound fits each channel independently,
+        # the real modes share ONE index per texel across channels (loose
+        # exactly on channel-decorrelated content like natural HDR).
+        row = [f"BC6H {cls:9s}: shipped adaptive rel-RMSE {rel_ship:.4f}"]
         best_added = sse_ship.copy()
         for name, epb, db in (("11.9", 11, 9), ("12.8", 12, 8),
                               ("16.4", 16, 4)):
