@@ -57,6 +57,24 @@ def main():
     print(f"16K foreign decode: {dt*1000:.0f} ms/frame -> "
           f"{H*W/dt/1e6:.1f} Mpix/s "
           f"({[f'{t*1000:.0f}' for t in sorted(ts)]})")
+
+    # Streamed serving: decode-only residency (~1.1 GB/frame: rebuilt
+    # rows + payload + pixels) fits TWO frames, unlike the roundtrip —
+    # so hide the ~28 ms sync floor by keeping one dispatch in flight
+    # and syncing frame k while k+1 is enqueued.
+    M = 8
+    t0 = time.time()
+    pend = None
+    for i in range(M):
+        pix, ok = sess.decode_gop([staged[i % N]])
+        nxt = jnp.sum(pix.astype(jnp.int32)) + jnp.sum(ok)
+        if pend is not None:
+            float(pend)
+        pend = nxt
+    float(pend)
+    sdt = (time.time() - t0) / M
+    print(f"16K foreign streamed (double-buffered): {sdt*1000:.0f} ms/frame "
+          f"-> {H*W/sdt/1e6:.1f} Mpix/s over {M} frames", flush=True)
     from hap_tpu.pipeline.codecs import decode_frame
 
     want = decode_frame(frames[0], H, W)

@@ -294,14 +294,32 @@ def main():
             fts.append(time.time() - t0)
         _ = float(jnp.sum(prev[0].astype(jnp.int32)) + jnp.sum(prev[1]))
         fdt = sorted(fts)[len(fts) // 2] / GOP
+        # The axon tunnel's bandwidth swings ~10x with external pool
+        # contention (measured 0.9-11.7 s staging the same 41.8 MB), so
+        # the raw fresh number is weather. Report alongside it a derived
+        # steady-state at the NOMINAL uncontended tunnel rate (the best
+        # bandwidth observed this run) and at PCIe 16 GB/s — staged
+        # bytes and decode ms are the stable quantities.
+        # best bandwidth witnessed this run: every timed interval that
+        # staged a GOP is an upper bound on its duration, so bytes/time
+        # is a lower bound on bandwidth — take the max over intervals.
+        bw = max(staged_mb / max(t_stage, 1e-6),
+                 fresh_mb / max(min(fts), 1e-6))  # MB/s
+        fdt_nom = max(fresh_mb / bw, GOP * pdt) / GOP
+        fdt_pcie = max(fresh_mb / 16e3, GOP * pdt) / GOP
         log(f"[gop] FRESH steady state (stage+decode, promote=auto): "
             f"{fdt*1000:.1f} ms/frame -> {H*W/fdt/1e6:.1f} Mpix/s, "
             f"staged {fresh_mb:.1f} MB/GOP (pieces-mode staged "
-            f"{staged_mb:.1f} MB)")
+            f"{staged_mb:.1f} MB; at best-observed tunnel bw "
+            f"{bw:.0f} MB/s -> {H*W/fdt_nom/1e6:.1f} Mpix/s; at PCIe "
+            f"16 GB/s the same pipeline is decode-bound at "
+            f"{H*W/fdt_pcie/1e6:.1f} Mpix/s)")
         RESULTS[cls].update({
             "fresh_ms_per_frame": round(fdt * 1000, 2),
             "fresh_mpix_s": round(H * W / fdt / 1e6, 1),
             "fresh_staged_mb": round(fresh_mb, 2),
+            "fresh_mpix_s_best_bw": round(H * W / fdt_nom / 1e6, 1),
+            "fresh_mpix_s_pcie": round(H * W / fdt_pcie / 1e6, 1),
         })
 
         # Hybrid: native C++ snappy on host (threads) + device BCn.
