@@ -754,6 +754,190 @@ def bc7_encode_blocks_mode7(
 
 
 # ---------------------------------------------------------------------------
+# Mode-3 encoder: 2 subsets, RGB 7.7.7 + a P-bit per ENDPOINT (8-bit
+# effective), 2-bit indices over 64 partitions — the high-precision RGB
+# two-subset mode. Round-4 adjudication (tools/eval_bc7_modes023.py,
+# shared-index bounds): modes 0 and 2 are EXCLUDED by measurement
+# (<= +0.15 dB over the adaptive set on every anchor class — their 3
+# subsets cost endpoint precision the extra partition freedom never
+# repays); mode 3's bound adds +0.35 dB on natural and dominates the
+# near-flat two-population blocks that cap graphics content (its 8-bit
+# endpoints represent them exactly where mode 1's 6.6.6+shared-P and
+# mode 6's shared RGBA line each round away ~1 LSB/texel).
+# ---------------------------------------------------------------------------
+
+
+def _quant_77p_own(e: jnp.ndarray):
+    """Quantize (N, 3) float RGB endpoint to 7 bits + its OWN P bit.
+
+    Both P values are tried; joint 3-channel error decides. recon is
+    decoder-exact: depth 8 means unquant((q << 1) | p, 8) is identity."""
+    cands = []
+    for p in (0, 1):
+        pv = jnp.full(e.shape[0], p, _I32)
+        q = jnp.clip(
+            jnp.round((jnp.clip(e, 0.0, 255.0) - pv[:, None]) / 2.0),
+            0, 127).astype(_I32)
+        r = (q << 1) | pv[:, None]
+        err = jnp.sum((r.astype(jnp.float32) - e) ** 2, axis=-1)
+        cands.append((err, q, r, pv))
+    use1 = cands[1][0] < cands[0][0]
+    out = []
+    for a, b in zip(cands[0][1:], cands[1][1:]):
+        sel = use1[:, None] if a.ndim == 2 else use1
+        out.append(jnp.where(sel, b, a))
+    return tuple(out)  # q, recon, p
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "kmeans_iters"))
+def bc7_encode_blocks_mode3(
+    pixels: jnp.ndarray, refine_iters: int = 1, kmeans_iters: int = 3
+) -> jnp.ndarray:
+    """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 mode-3 blocks.
+
+    Mode-7 skeleton on the RGB channels only (2-means clustering ->
+    nearest 2-subset partition -> masked PCA seeds -> LS refine ->
+    2-bit indices); alpha decodes 255 by mode construction, so the
+    adaptive selector keeps mode 3 away from translucent blocks.
+    """
+    px = pixels[..., :3].astype(jnp.float32)
+    n = px.shape[0]
+
+    mean, axis = _masked_principal_axis(px, jnp.ones((n, 16), jnp.float32))
+    t = jnp.sum((px - mean[:, None, :]) * axis[:, None, :], axis=-1)
+    med = jnp.median(t, axis=1, keepdims=True)
+    assign = (t > med).astype(jnp.float32)
+    for _ in range(kmeans_iters):
+        c1 = jnp.sum(px * assign[..., None], axis=1) / jnp.maximum(
+            jnp.sum(assign, axis=1), 1.0)[:, None]
+        c0 = jnp.sum(px * (1.0 - assign)[..., None], axis=1) / jnp.maximum(
+            jnp.sum(1.0 - assign, axis=1), 1.0)[:, None]
+        d0 = jnp.sum((px - c0[:, None, :]) ** 2, axis=-1)
+        d1 = jnp.sum((px - c1[:, None, :]) ** 2, axis=-1)
+        assign = (d1 < d0).astype(jnp.float32)
+
+    pt = jnp.asarray(PARTITIONS2, jnp.float32)
+    ones_p = jnp.sum(pt, axis=1)
+    overlap = assign @ pt.T
+    ones_a = jnp.sum(assign, axis=1, keepdims=True)
+    ham = ones_a + ones_p[None, :] - 2.0 * overlap
+    ham = jnp.minimum(ham, 16.0 - ham)
+    partition = jnp.argmin(ham, axis=1).astype(_I32)
+
+    onehot = jax.nn.one_hot(partition, 64, dtype=jnp.float32)
+    subset = jnp.round(onehot @ pt).astype(_I32)
+    anchor2 = jnp.round(
+        onehot @ jnp.asarray(ANCHOR2_2, jnp.float32)).astype(_I32)
+    masks = [(subset == s).astype(jnp.float32) for s in (0, 1)]
+
+    seeds = []
+    for m in masks:
+        smean, saxis = _masked_principal_axis(px, m)
+        st = jnp.sum((px - smean[:, None, :]) * saxis[:, None, :], axis=-1)
+        stm = jnp.where(m > 0, st, jnp.inf)
+        stx = jnp.where(m > 0, st, -jnp.inf)
+        tmin = jnp.min(stm, axis=1)
+        tmax = jnp.max(stx, axis=1)
+        tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+        tmax = jnp.where(jnp.isfinite(tmax), tmax, 0.0)
+        seeds.append(
+            (smean + saxis * tmin[:, None], smean + saxis * tmax[:, None]))
+
+    w2f = jnp.asarray(_W2, jnp.float32) / 64.0  # (4,)
+
+    def select_codes(recon):
+        e0 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][0][:, None, :],
+            recon[1][0][:, None, :]).astype(jnp.float32)
+        e1 = jnp.where(
+            (subset == 0)[:, :, None], recon[0][1][:, None, :],
+            recon[1][1][:, None, :]).astype(jnp.float32)
+        pal = (e0[:, :, None, :] * (1.0 - w2f)[None, None, :, None]
+               + e1[:, :, None, :] * w2f[None, None, :, None])
+        d = px[:, :, None, :] - pal
+        return jnp.argmin(jnp.sum(d * d, axis=-1), axis=-1).astype(_I32)
+
+    def quantize_all(ends):
+        out = []
+        for (e0, e1) in ends:
+            q0, r0, p0 = _quant_77p_own(e0)
+            q1, r1, p1 = _quant_77p_own(e1)
+            out.append([q0, q1, r0, r1, p0, p1])
+        return out
+
+    qs = quantize_all(seeds)
+    codes = select_codes([(q[2], q[3]) for q in qs])
+
+    ends = seeds
+    for _ in range(refine_iters):
+        w = jnp.zeros(codes.shape, jnp.float32)
+        for k in range(1, 4):
+            w = jnp.where(codes == k, float(_W2[k]) / 64.0, w)
+        new_ends = []
+        for s, m in enumerate(masks):
+            e0n, e1n = _masked_fit_endpoints_ls(
+                px, w, m, ends[s][0], ends[s][1])
+            new_ends.append((e0n, e1n))
+        ends = new_ends
+        qs = quantize_all(ends)
+        codes = select_codes([(q[2], q[3]) for q in qs])
+
+    # anchor fix-ups: the anchor texel's index MSB must be 0
+    q_sub = qs
+    texel = jnp.arange(16, dtype=_I32)[None, :]
+    anchors = [jnp.zeros(n, _I32), anchor2]
+    for s in (0, 1):
+        a_code = jnp.sum(
+            jnp.where(texel == anchors[s][:, None], codes, 0), axis=1)
+        swap = a_code >= 2
+        in_s = subset == s
+        codes = jnp.where(swap[:, None] & in_s, 3 - codes, codes)
+        q0, q1, r0, r1, p0, p1 = q_sub[s]
+        q_sub[s] = [jnp.where(swap[:, None], q1, q0),
+                    jnp.where(swap[:, None], q0, q1), r0, r1,
+                    jnp.where(swap, p1, p0), jnp.where(swap, p0, p1)]
+
+    bits = jnp.zeros((n, 4), _U32)
+
+    def set_bits(bits, start, length, vals):
+        vals = vals.astype(_U32) & ((1 << length) - 1)
+        w, b = start // 32, start % 32
+        bits = bits.at[:, w].set(bits[:, w] | (vals << b))
+        if b + length > 32:
+            bits = bits.at[:, w + 1].set(bits[:, w + 1] | (vals >> (32 - b)))
+        return bits
+
+    bits = set_bits(bits, 0, 4, jnp.full(n, 0x8, _I32))  # mode 3 marker
+    bits = set_bits(bits, 4, 6, partition)
+    posn = 10
+    # Endpoint order: R x4 (s0e0, s0e1, s1e0, s1e1), G x4, B x4.
+    for c in range(3):
+        for s in (0, 1):
+            for e in (0, 1):
+                bits = set_bits(bits, posn, 7, q_sub[s][e][:, c])
+                posn += 7
+    # P-bits: one per endpoint (s0e0, s0e1, s1e0, s1e1).
+    for s in (0, 1):
+        bits = set_bits(bits, posn, 1, q_sub[s][4]); posn += 1
+        bits = set_bits(bits, posn, 1, q_sub[s][5]); posn += 1
+    assert posn == 98
+
+    # Index field: width 1 at anchors; all 30 bits land in word 3.
+    is_anchor = (texel == 0) | (texel == anchor2[:, None])
+    widths = jnp.where(is_anchor, 1, 2)
+    offs = 98 + jnp.concatenate(
+        [jnp.zeros((n, 1), _I32), jnp.cumsum(widths[:, :-1], axis=1)], axis=1)
+    vals = codes.astype(_U32)
+    rel = offs - 96
+    contrib = vals << jnp.clip(rel, 0, 31).astype(_U32)
+    acc = jnp.zeros(n, _U32)
+    for ti in range(16):
+        acc = acc | contrib[:, ti]
+    bits = bits.at[:, 3].set(bits[:, 3] | acc)
+    return bits
+
+
+# ---------------------------------------------------------------------------
 # Mode-5 encoder: 1 subset, RGB 7.7.7 with 2-bit indices + alpha 8.8 with
 # its OWN 2-bit indices — the mode that carries blocks whose alpha is
 # decorrelated from color (UI overlays, independent alpha mattes), which
@@ -891,17 +1075,21 @@ def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
     """(N, 16, 4) uint8 RGBA -> (N, 4) uint32 BC7 blocks, adaptive mode.
 
     Encodes each block in mode 6 (single subset, shared RGBA index), mode 5
-    (single subset, separate alpha index plane), mode 1 (two subsets, RGB)
-    and mode 7 (two subsets, RGBA — round-4 addition for two-population
-    blocks whose alpha edge follows the color edge) and keeps the
-    lowest-SSE encoding — exact decoder semantics (_decode_mode) are used
-    for the comparison, so the chosen block is the one that truly
-    reconstructs better.
+    (single subset, separate alpha index plane), mode 1 (two subsets, RGB),
+    mode 7 (two subsets, RGBA — round-4, for two-population blocks whose
+    alpha edge follows the color edge) and mode 3 (two subsets, RGB at
+    8-bit effective endpoints — round-4, for near-flat two-population
+    blocks where 6/7-bit endpoint rounding is the whole error) and keeps
+    the lowest-SSE encoding — exact decoder semantics (_decode_mode) are
+    used for the comparison, so the chosen block is the one that truly
+    reconstructs better. Modes 0/2 are excluded by measurement
+    (tools/eval_bc7_modes023.py: <= +0.15 dB bound over this set).
     """
     w6 = bc7_encode_blocks_mode6(pixels, refine_iters=refine_iters)
     w1 = bc7_encode_blocks_mode1(pixels, refine_iters=refine_iters)
     w5 = bc7_encode_blocks_mode5(pixels, refine_iters=refine_iters)
     w7 = bc7_encode_blocks_mode7(pixels, refine_iters=refine_iters)
+    w3 = bc7_encode_blocks_mode3(pixels, refine_iters=refine_iters)
     pxi = pixels.astype(_I32)
 
     def sse(words, mode):
@@ -910,7 +1098,7 @@ def bc7_encode_blocks(pixels: jnp.ndarray, refine_iters: int = 1) -> jnp.ndarray
         return jnp.sum(d * d, axis=(1, 2))
 
     best_w, best_e = w6, sse(w6, 6)
-    for w, m in ((w1, 1), (w5, 5), (w7, 7)):
+    for w, m in ((w1, 1), (w5, 5), (w7, 7), (w3, 3)):
         e = sse(w, m)
         take = (e < best_e)[:, None]
         best_w = jnp.where(take, w, best_w)
