@@ -202,12 +202,19 @@ def encode_frame(
     chunk_count: int = 8,
     compressor: Compressor = Compressor.SNAPPY,
     n_threads: int = 0,
+    effort: str = "high",
 ) -> bytes:
     """Encode one (H, W, C) image into a Hap frame (uint8 pixels; float32
     RGB for the hap_hdr codec).
 
     Device: layout -> (YCoCg) -> BCn encode. Host: chunked Snappy + container
     stitch, mirroring HapEncode exactly (hap.c:506-604).
+
+    effort: "fast" | "high" (default) | "best". "best" adds exact-decode-
+    adjudicated candidate sets to the BC1/BC4 encoders (endpoint shrink +
+    cluster-fit / local-exhaustive window — tools/eval_bcn_optimal.py
+    measured them at the format's practical optimum) at several times the
+    texture-encode cost: offline/archival territory.
     """
     spec = CODECS[codec]
     img = jnp.asarray(image)
@@ -215,13 +222,24 @@ def encode_frame(
         img = img[..., None]
 
     payloads = []
-    for fmt in spec.texture_formats:
-        enc, _ = _ENCODERS[fmt]
-        if fmt == TextureFormat.A_RGTC1 and spec.multi_texture:
-            words = enc(img[..., 3])
-        else:
-            words = enc(img)
-        payloads.append(_words_to_bytes(words))
+    if effort != "high":
+        # Route through the planar device-pipeline encoders, the only
+        # path with the effort knob (the jitted host wrappers above pin
+        # the default recipe).
+        from hap_tpu.pipeline.device_pipeline import _encode_blocks
+
+        parts = ([(codec, img)] if not spec.multi_texture
+                 else [("hap_q", img), ("hap_alpha_only", img[..., 3])])
+        for sub, x in parts:
+            payloads.append(_words_to_bytes(_encode_blocks(sub, x, effort)))
+    else:
+        for fmt in spec.texture_formats:
+            enc, _ = _ENCODERS[fmt]
+            if fmt == TextureFormat.A_RGTC1 and spec.multi_texture:
+                words = enc(img[..., 3])
+            else:
+                words = enc(img)
+            payloads.append(_words_to_bytes(words))
 
     native = _byte_plane()
     formats = [int(f) for f in spec.texture_formats]

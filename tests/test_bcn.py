@@ -333,3 +333,46 @@ def test_cocgs_y_to_rgb_planes_matches_interleaved(rng):
     got = np.asarray(cocgs_y_to_rgb_planes(
         planes, jnp.asarray(y.T.astype(np.float32))))
     np.testing.assert_array_equal(got.transpose(2, 1, 0), want)
+
+
+def test_bc1_best_effort_beats_fast_and_stays_valid(rng):
+    """effort='best' (endpoint-shrink + cluster-fit candidates) must
+    never lose to the fast recipe under EXACT decode, win clearly on
+    structured content, and keep emitting valid 4-color-mode blocks that
+    the scalar oracle decodes identically to the JAX decoder."""
+    from hap_tpu.kernels.bc1 import bc1_encode_planes_words
+    from hap_tpu.kernels.layout import image_to_block_planes
+    from hap_tpu.kernels import scalar_ref
+
+    # the anchor graphics class — sharp flat regions where index-
+    # assignment search beats local LS refine (the measured +1.87 dB
+    # gap-to-optimal case; on smooth gradients or dithered content both
+    # recipes land within a few percent of each other)
+    from tools.bench_content import make_frame
+
+    h = w = 128
+    img = make_frame("graphics", 0, h, w)
+    planes = image_to_block_planes(jnp.asarray(img))
+    src = np.asarray(planes).astype(np.int64)
+
+    def run(cand):
+        w0, w1 = bc1_encode_planes_words(planes, refine_iters=2,
+                                         candidates=cand)
+        words = np.stack([np.asarray(w0), np.asarray(w1)], 1)
+        rgb, _ = scalar_ref.bc1_decode(words.astype("<u4").tobytes())
+        dec = np.asarray(rgb).reshape(-1, 16, 3).transpose(2, 1, 0)
+        jrgb, _ = bc1_decode_blocks(jnp.asarray(words))
+        np.testing.assert_array_equal(
+            np.asarray(jrgb).transpose(2, 1, 0), dec)
+        c0 = words[:, 0] & 0xFFFF
+        c1 = words[:, 0] >> 16
+        assert (c0 >= c1).all()
+        err = (dec.astype(np.int64) - src) ** 2
+        return err.sum(), err[:, :, : err.shape[2] // 2].sum()
+
+    sse_fast, _ = run(False)
+    sse_best, _ = run(True)
+    assert sse_best <= sse_fast
+    # anchor-measured improvement is ~35% MSE (44.69 -> 46.56 dB at
+    # 256px); require a solid fraction of it with margin
+    assert sse_best < 0.8 * sse_fast

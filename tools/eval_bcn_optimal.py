@@ -165,29 +165,47 @@ def main():
         n = blocks.shape[0]
 
         # ---- BC1 ----
+        from hap_tpu.kernels.bc1 import bc1_encode_planes_words
+
         w = bc1_encode_blocks(jnp.asarray(blocks))
         dec, _ = bc1_decode_blocks(w)
         sse_ship = float(((np.asarray(dec).astype(np.float64)
                            - blocks.astype(np.float64)) ** 2).sum())
+        planes = jnp.asarray(blocks.transpose(2, 1, 0))
+        wb0, wb1 = bc1_encode_planes_words(planes, refine_iters=2,
+                                           candidates=True)
+        wb = np.stack([np.asarray(wb0), np.asarray(wb1)], 1)
+        decb, _ = bc1_decode_blocks(jnp.asarray(wb))
+        sse_best = float(((np.asarray(decb).astype(np.float64)
+                           - blocks.astype(np.float64)) ** 2).sum())
         sse_bound = float(bc1_cluster_fit_bound(blocks).sum())
         cnt = n * 16 * 3
         print(f"BC1 {cls:9s}: shipped {psnr_from_sse(sse_ship, cnt):6.2f} dB"
+              f"  effort=best {psnr_from_sse(sse_best, cnt):6.2f} dB"
               f"  cluster-fit bound {psnr_from_sse(sse_bound, cnt):6.2f} dB"
-              f"  gap {psnr_from_sse(sse_bound, cnt) - psnr_from_sse(sse_ship, cnt):+5.2f} dB",
+              f"  best-gap {psnr_from_sse(sse_bound, cnt) - psnr_from_sse(sse_best, cnt):+5.2f} dB",
               flush=True)
 
         # ---- BC4 (on the luma-ish first channel; subsample for the
         # exhaustive search) ----
+        from hap_tpu.kernels.bc4 import bc4_encode_planes_words
+
         vals = blocks[:, :, 0]
         sub = rng.choice(n, size=min(512, n), replace=False)
         w4 = bc4_encode_blocks(jnp.asarray(vals[sub]))
         d4 = np.asarray(bc4_decode_blocks(w4)).astype(np.float64)
         sse_ship4 = float(((d4 - vals[sub].astype(np.float64)) ** 2).sum())
+        w40, w41 = bc4_encode_planes_words(jnp.asarray(vals[sub].T),
+                                           candidates=True)
+        w4b = np.stack([np.asarray(w40), np.asarray(w41)], 1)
+        d4b = np.asarray(bc4_decode_blocks(jnp.asarray(w4b))).astype(np.float64)
+        sse_best4 = float(((d4b - vals[sub].astype(np.float64)) ** 2).sum())
         sse_opt4 = float(bc4_exhaustive_bound(vals[sub]).sum())
         cnt4 = len(sub) * 16
         print(f"BC4 {cls:9s}: shipped {psnr_from_sse(sse_ship4, cnt4):6.2f} dB"
+              f"  effort=best {psnr_from_sse(sse_best4, cnt4):6.2f} dB"
               f"  exhaustive optimum {psnr_from_sse(sse_opt4, cnt4):6.2f} dB"
-              f"  gap {psnr_from_sse(sse_opt4, cnt4) - psnr_from_sse(sse_ship4, cnt4):+5.2f} dB",
+              f"  best-gap {psnr_from_sse(sse_opt4, cnt4) - psnr_from_sse(sse_best4, cnt4):+5.2f} dB",
               flush=True)
 
 
