@@ -90,7 +90,7 @@ def _dec_hap_a(words: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 @jax.jit
 def _enc_hap_r(img: jnp.ndarray) -> jnp.ndarray:
-    """Hap R: BC7 (adaptive mode-1/mode-6 encoder)."""
+    """Hap R: BC7 (adaptive mode-1/3/5/6/7 encoder)."""
     return bc7_encode_blocks(image_to_blocks(img))
 
 

@@ -9,7 +9,7 @@ tests/test_quality_anchor.py pins regression thresholds slightly below
 these numbers.
 
 Also prints the measured justification for encoder subset choices
-(VERDICT r1 weak #5): BC7 adaptive mode-1/5/6 vs mode-6-only vs the BC3
+(VERDICT r1 weak #5): BC7 adaptive (1/3/5/6/7) vs mode-6-only vs the BC3
 alternative on the same content; BC4 8-interp vs 6-interp is structural
 (the 6-interp mode's 0/255 anchors only help content containing exact
 0/255 runs).
@@ -120,7 +120,7 @@ def main():
               + " | rel-RMSE |")
     print("\n| BC7 encoder | " + " | ".join(CLASSES) + " |")
     print("|---|---|---|---|")
-    for i, name in enumerate(("adaptive mode-1/5/6", "mode-6 only", "BC3 (for scale)")):
+    for i, name in enumerate(("adaptive (full set)", "mode-6 only", "BC3 (for scale)")):
         print(f"| {name} | " + " | ".join(str(bc7_vals[c][i]) for c in CLASSES) + " |")
 
 
