@@ -454,18 +454,26 @@ class ForeignGopSession:
             frame_len=len(frame), spec=spec, profile=tuple(prof),
             ok_host=ok_host, frame_dev=frame_dev, per_texture=per_texture)
 
-    def hbm_bytes_per_frame(self, staged_frame) -> int:
+    def hbm_bytes_per_frame(self, staged_frame, nmax_by_tex=None,
+                            lmax_by_tex=None) -> int:
         """Estimated device residency of one staged frame inside the fused
         GOP program: decoded rows + payload + the staged packed planes +
         the dense (C, nmax) executor layout decode_gop rebuilds on device
-        + output pixels/folds. Feeds the decode_gop HBM guard."""
+        + output pixels/folds. Feeds the decode_gop HBM guard.
+
+        nmax_by_tex/lmax_by_tex override the per-frame ops/lit maxima with
+        the (bucketed) GOP-wide widths the dense rebuild actually pads to —
+        decode_gop passes them so a GOP whose first frame is small cannot
+        underestimate residency (the fused program pads every frame to the
+        GOP maxima)."""
         per_frame = 0
         for ti in range(len(staged_frame.spec.texture_formats)):
             t = staged_frame.per_texture[ti]
             S_max, total = t[7], t[8]
             C = t[1].shape[0]  # n_ops is per-chunk; t[0] is the PACKED
             # flat op array (round 4), whose row count is total ops, not C
-            nops_max, lit_max = t[12], t[13]
+            nops_max = nmax_by_tex[ti] if nmax_by_tex is not None else t[12]
+            lit_max = lmax_by_tex[ti] if lmax_by_tex is not None else t[13]
             per_frame += (C * S_max * 4 + total + t[0].nbytes + t[2].nbytes
                           + C * nops_max * 8 + C * lit_max)
         per_frame += 4 * self.height * self.width * 4  # pixels + folds
@@ -496,7 +504,19 @@ class ForeignGopSession:
         # HBM guard: the fused program holds decoded rows + payload +
         # pixels for every frame concurrently; 16K frames fit one per
         # dispatch, not eight (measured OOM at 2x16K on a 16 GB chip).
-        per_frame = self.hbm_bytes_per_frame(staged[0])
+        # The dense rebuild pads every frame to the GOP-wide BUCKETED
+        # ops/lit maxima (nmax_g/lmax_g below), and packed plane sizes are
+        # content-dependent — so the estimate uses those maxima and sums
+        # over all staged frames rather than extrapolating from frame 0
+        # (a small first frame must not admit a dispatch that OOMs).
+        n_tex = len(staged[0].spec.texture_formats)
+        nmax_by_tex = [_ceil(max(s.per_texture[ti][12] for s in staged), 512)
+                       for ti in range(n_tex)]
+        lmax_by_tex = [_ceil(max(s.per_texture[ti][13] for s in staged), 8192)
+                       for ti in range(n_tex)]
+        per_frame = max(
+            self.hbm_bytes_per_frame(s, nmax_by_tex, lmax_by_tex)
+            for s in staged)
         est = per_frame * len(staged)
         if est > 12 * 2**30:
             raise ValueError(

@@ -196,6 +196,41 @@ def _byte_plane():
         return None
 
 
+# TextureFormat -> (single-texture sub-codec name, channel selector into the
+# multi-texture pixel stack, or None for the full image). Multi-texture specs
+# derive their per-texture encode parts from this map instead of hardcoding
+# the hap_q_alpha pair, so a future multi-texture codec can't silently pick
+# the wrong sub-encoders (the combination rule is hap.c:551-559).
+_FMT_EFFORT_SUBCODEC = {
+    TextureFormat.RGB_DXT1: ("hap", None),
+    TextureFormat.RGBA_DXT5: ("hap_alpha", None),
+    TextureFormat.YCoCg_DXT5: ("hap_q", None),
+    TextureFormat.A_RGTC1: ("hap_alpha_only", 3),
+    TextureFormat.RGBA_BPTC_UNORM: ("hap_r", None),
+    TextureFormat.RGB_BPTC_UNSIGNED_FLOAT: ("hap_hdr", None),
+    TextureFormat.RGB_BPTC_SIGNED_FLOAT: ("hap_hdr_signed", None),
+}
+
+
+def _subcodec_parts(spec, codec: str):
+    """[(sub_codec_name, channel_selector_or_None)] for an encode."""
+    if not spec.multi_texture:
+        return [(codec, None)]
+    return [_FMT_EFFORT_SUBCODEC[fmt] for fmt in spec.texture_formats]
+
+
+@partial(jax.jit, static_argnames=("sub", "effort"))
+def _encode_blocks_jit(sub: str, effort: str, img: jnp.ndarray) -> jnp.ndarray:
+    """Jitted wrapper for the effort-path planar encoders: one compiled
+    program per (sub-codec, effort, shape) instead of an eager op-by-op
+    dispatch stream (each eager jnp op is a separate enqueue through the
+    axon tunnel, ~5 ms — eager 'fast' was slower end-to-end than jitted
+    'high', the opposite of the knob's promise)."""
+    from hap_tpu.pipeline.device_pipeline import _encode_blocks
+
+    return _encode_blocks(sub, img, effort)
+
+
 def encode_frame(
     image,
     codec: str = "hap_q",
@@ -214,7 +249,11 @@ def encode_frame(
     adjudicated candidate sets to the BC1/BC4 encoders (endpoint shrink +
     cluster-fit / local-exhaustive window — tools/eval_bcn_optimal.py
     measured them at the format's practical optimum) at several times the
-    texture-encode cost: offline/archival territory.
+    texture-encode cost: offline/archival territory. The knob affects ONLY
+    the BC1/BC4 families (hap, hap_alpha, hap_q, hap_alpha_only,
+    hap_q_alpha); for hap_r / hap_hdr / hap_hdr_signed the BC7/BC6H
+    encoders have their own adaptive mode search and effort is a no-op
+    (identical words at every level).
     """
     spec = CODECS[codec]
     img = jnp.asarray(image)
@@ -225,13 +264,12 @@ def encode_frame(
     if effort != "high":
         # Route through the planar device-pipeline encoders, the only
         # path with the effort knob (the jitted host wrappers above pin
-        # the default recipe).
-        from hap_tpu.pipeline.device_pipeline import _encode_blocks
-
-        parts = ([(codec, img)] if not spec.multi_texture
-                 else [("hap_q", img), ("hap_alpha_only", img[..., 3])])
-        for sub, x in parts:
-            payloads.append(_words_to_bytes(_encode_blocks(sub, x, effort)))
+        # the default recipe). The whole sub-codec encode runs under one
+        # jit entry per (codec, effort, shape) — eager _encode_blocks
+        # would pay one tunnel enqueue (~5 ms here) per jnp op.
+        for sub, sel in _subcodec_parts(spec, codec):
+            payloads.append(_words_to_bytes(
+                _encode_blocks_jit(sub, effort, img[..., sel] if sel is not None else img)))
     else:
         for fmt in spec.texture_formats:
             enc, _ = _ENCODERS[fmt]

@@ -80,7 +80,11 @@ _SLAB_TARGET_ROWS = 1080
 def _slab_count(h: int) -> int:
     """Slab count for an (h, W) encode: ~_SLAB_TARGET_ROWS rows per slab,
     h evenly divisible, slab height a multiple of 4 (block rows). Returns
-    1 (direct path) when h is below threshold or has no even split."""
+    1 (the direct path — one fused graph) when h is below threshold or has
+    no even split with a slab height in [target/2, h); ties on distance
+    keep the earlier (taller) slab. Candidates below target/2 are never
+    accepted: a prime-multiple height like 8252 = 4*2063 would otherwise
+    "win" with 4-row slabs (2063 lax.map steps — far worse than direct)."""
     if h < _SLAB_MIN_H:
         return 1
     best = 1
@@ -90,10 +94,10 @@ def _slab_count(h: int) -> int:
         hs = h // n
         if hs % 4:
             continue
+        if hs < _SLAB_TARGET_ROWS // 2:
+            break  # hs decreases with n: no acceptable candidates remain
         if abs(hs - _SLAB_TARGET_ROWS) < abs(h // best - _SLAB_TARGET_ROWS):
             best = n
-        if hs < _SLAB_TARGET_ROWS // 2:
-            break
     return best
 
 

@@ -23,7 +23,7 @@ class EncodeConfig:
     chunk_count: int = 64  # requested; legalized per frame size (hap.c:277-300)
     compressor: Compressor = Compressor.SNAPPY
     byte_plane: str = "device"  # "device" | "native" | "python"
-    effort: str = "high"  # BC1 encoder refinement: "high" (2 rounds) | "fast" (1)
+    effort: str = "high"  # BCn encoder effort: "fast" | "high" | "best" (see encode_frame)
     mesh_axes: Tuple[str, str] = ("data", "space")
     n_threads: int = 0  # native byte plane thread count (0 = all cores)
 
@@ -34,7 +34,7 @@ class EncodeConfig:
             raise ValueError("chunk_count must be >= 1")
         if self.byte_plane not in ("device", "native", "python"):
             raise ValueError(f"unknown byte plane {self.byte_plane!r}")
-        if self.effort not in ("high", "fast"):
+        if self.effort not in ("high", "fast", "best"):
             raise ValueError(f"unknown effort {self.effort!r}")
 
     @property
