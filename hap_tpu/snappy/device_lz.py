@@ -98,12 +98,19 @@ def lz_bound(S: int) -> int:
 
 
 class LzPlan(NamedTuple):
-    """Device-side planning output for one (C, S) chunk batch."""
+    """Device-side planning output for one (C, S) chunk batch.
 
-    tables: jnp.ndarray     # (C, NSEG * SEG_SLOTS, 2) int32 packed records
-    counts: jnp.ndarray     # (C, NSEG) int32 pieces per segment
-    comp_len: jnp.ndarray   # (C,) int32 total stream bytes (varint incl.)
-    n_pieces: jnp.ndarray   # (C,) int32 total pieces
+    Piece tables are SPLIT BY KIND so the emission kernel runs two
+    specialized loops: copy pieces touch no payload bytes (3-byte copy-2
+    elements built from scalars) while literal pieces stream payload
+    windows — a unified loop would pay the 10-row window read for every
+    3-element copy piece."""
+
+    tables_lit: jnp.ndarray   # (C, NSEG * SEG_SLOTS, 2) int32 records
+    tables_copy: jnp.ndarray  # (C, NSEG * SEG_SLOTS, 2) int32 records
+    counts: jnp.ndarray       # (C, NSEG, 2) int32 [lit, copy] per segment
+    comp_len: jnp.ndarray     # (C,) int32 stream bytes (varint incl.)
+    n_pieces: jnp.ndarray     # (C,) int32 total pieces
 
 
 def _shl(x, k):
@@ -181,21 +188,23 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
         M = M | (eq.astype(_I32) << ci)
     M = jnp.where(in_range, M, 0)
 
-    P1 = M
-    P2 = P1 & _shl(P1, 1)
-    P4 = P2 & _shl(P2, 2)
-    P8 = P4 & _shl(P4, 4)
-    P16 = P8 & _shl(P8, 8)
+    # capped-run levels by shift-AND doubling; the cap must exceed typical
+    # run lengths (graphics runs average ~85 words): at cap 16, a 500-word
+    # row-stride run TIES a 70-word d=16 run and the tie-break fragments
+    # the long run — measured +14% bytes on the graphics anchor. Cap 256.
+    levels = [M]
+    k = 1
+    while k < 256:
+        levels.append(levels[-1] & _shl(levels[-1], k))
+        k *= 2
 
     # ---- 3. run-through coverage + selection -------------------------
-    R2 = _or_spread(P2, 2)
-    R4 = _or_spread(P4, 4)
-    R8 = _or_spread(P8, 8)
-    R16 = _or_spread(P16, 16)
-    bits = jnp.where(R16 != 0, R16,
-                     jnp.where(R8 != 0, R8,
-                               jnp.where(R4 != 0, R4,
-                                         jnp.where(R2 != 0, R2, P1))))
+    bits = levels[0]
+    l = 2
+    for P in levels[1:]:
+        R = _or_spread(P, l)
+        bits = jnp.where(R != 0, R, bits)
+        l *= 2
     low = bits & (-bits)  # smallest candidate index at the best level
     dw = jnp.zeros((C, Np), _I32)
     selw = jnp.zeros((C, Np), _I32)    # words[i - dw[i]]
@@ -367,36 +376,33 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
     # literal piece source offset: head steal only at the run's first word
     lit_in = 4 * pos + jnp.where(is_start, steal_head, 0)
 
-    piece = lit_piece_start | copy_piece
-    w0 = jnp.where(
-        copy_piece,
-        copy_out | (nel_piece << 20) | KIND_COPY,
-        out_cs | (blen << 20),
-    )
-    w1 = jnp.where(
-        copy_piece,
-        (4 * dw) | (tail_len << 17),
-        lit_in | (tag_len << 20),
-    )
-    w0 = jnp.where(piece, w0, 0)
-    w1 = jnp.where(piece, w1, 0)
+    def _rank_select(mask, w0, w1):
+        """Per-segment rank-select of masked records into SEG_SLOTS."""
+        pseg = mask.reshape(C, NSEG, SEG_WORDS)
+        rank = jnp.cumsum(pseg.astype(_I32), axis=2) - pseg.astype(_I32)
+        counts = jnp.sum(pseg.astype(_I32), axis=2)
+        w0s = jnp.where(mask, w0, 0).reshape(C, NSEG, SEG_WORDS)
+        w1s = jnp.where(mask, w1, 0).reshape(C, NSEG, SEG_WORDS)
+        p32 = pseg.astype(_I32)
+        slots_w0 = jnp.zeros((C, NSEG, SEG_SLOTS), _I32)
+        slots_w1 = jnp.zeros((C, NSEG, SEG_SLOTS), _I32)
+        for k in range(SEG_SLOTS):
+            m = p32 * (rank == k).astype(_I32)
+            slots_w0 = slots_w0.at[:, :, k].set(jnp.sum(m * w0s, axis=2))
+            slots_w1 = slots_w1.at[:, :, k].set(jnp.sum(m * w1s, axis=2))
+        table = jnp.stack([slots_w0, slots_w1], axis=3).reshape(
+            C, NSEG * SEG_SLOTS, 2)
+        return table, counts
 
-    # per-segment rank-select into SEG_SLOTS records
-    pseg = piece.reshape(C, NSEG, SEG_WORDS)
-    rank = jnp.cumsum(pseg.astype(_I32), axis=2) - pseg.astype(_I32)
-    counts = jnp.sum(pseg.astype(_I32), axis=2)
-    w0s = w0.reshape(C, NSEG, SEG_WORDS)
-    w1s = w1.reshape(C, NSEG, SEG_WORDS)
-    slots_w0 = jnp.zeros((C, NSEG, SEG_SLOTS), _I32)
-    slots_w1 = jnp.zeros((C, NSEG, SEG_SLOTS), _I32)
-    for k in range(SEG_SLOTS):
-        m = (pseg & (rank == k)).astype(_I32)
-        slots_w0 = slots_w0.at[:, :, k].set(jnp.sum(m * w0s, axis=2))
-        slots_w1 = slots_w1.at[:, :, k].set(jnp.sum(m * w1s, axis=2))
-    tables = jnp.stack([slots_w0, slots_w1], axis=3).reshape(
-        C, NSEG * SEG_SLOTS, 2)
-    n_pieces = jnp.sum(counts, axis=1)
-    return LzPlan(tables, counts, comp_len, n_pieces)
+    lit_w0 = out_cs | (blen << 20)
+    lit_w1 = lit_in | (tag_len << 20)
+    cp_w0 = copy_out | (nel_piece << 20) | KIND_COPY
+    cp_w1 = (4 * dw) | (tail_len << 17)
+    tables_lit, counts_lit = _rank_select(lit_piece_start, lit_w0, lit_w1)
+    tables_copy, counts_copy = _rank_select(copy_piece, cp_w0, cp_w1)
+    counts = jnp.stack([counts_lit, counts_copy], axis=2)
+    n_pieces = jnp.sum(counts_lit + counts_copy, axis=1)
+    return LzPlan(tables_lit, tables_copy, counts, comp_len, n_pieces)
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +415,8 @@ def emit_reference(data: np.ndarray, plan: LzPlan, S: int) -> list[bytes]:
     Bit-exact contract for the Pallas emission kernel; also the
     integration fallback on platforms without the kernel.
     """
-    tables = np.asarray(plan.tables)
+    t_lit = np.asarray(plan.tables_lit)
+    t_copy = np.asarray(plan.tables_copy)
     counts = np.asarray(plan.counts)
     comp_len = np.asarray(plan.comp_len)
     C = data.shape[0]
@@ -420,34 +427,36 @@ def emit_reference(data: np.ndarray, plan: LzPlan, S: int) -> list[bytes]:
         buf = np.zeros(int(comp_len[c]), np.uint8)
         buf[: len(pre)] = pre
         for s in range(NSEG):
-            for k in range(int(counts[c, s])):
-                w0 = int(tables[c, s * SEG_SLOTS + k, 0])
-                w1 = int(tables[c, s * SEG_SLOTS + k, 1])
+            for k in range(int(counts[c, s, 1])):  # copy pieces
+                w0 = int(t_copy[c, s * SEG_SLOTS + k, 0])
+                w1 = int(t_copy[c, s * SEG_SLOTS + k, 1])
                 o = w0 & 0xFFFFF
-                if w0 & KIND_COPY:
-                    nel = (w0 >> 20) & 0x7FF
-                    d = w1 & 0x1FFFF
-                    tail = (w1 >> 17) & 0x7F
-                    for e in range(nel):
-                        ln = tail if e == nel - 1 else 64
-                        buf[o] = 2 | ((ln - 1) << 2)
-                        buf[o + 1] = d & 0xFF
-                        buf[o + 2] = d >> 8
-                        o += 3
+                nel = (w0 >> 20) & 0x7FF
+                d = w1 & 0x1FFFF
+                tail = (w1 >> 17) & 0x7F
+                for e in range(nel):
+                    ln = tail if e == nel - 1 else 64
+                    buf[o] = 2 | ((ln - 1) << 2)
+                    buf[o + 1] = d & 0xFF
+                    buf[o + 2] = d >> 8
+                    o += 3
+            for k in range(int(counts[c, s, 0])):  # literal pieces
+                w0 = int(t_lit[c, s * SEG_SLOTS + k, 0])
+                w1 = int(t_lit[c, s * SEG_SLOTS + k, 1])
+                o = w0 & 0xFFFFF
+                blen = (w0 >> 20) & 0x7FF
+                tl = (w1 >> 20) & 3
+                ip = w1 & 0xFFFFF
+                n = blen - 1
+                if tl == 1:
+                    buf[o] = n << 2
+                elif tl == 2:
+                    buf[o] = 60 << 2
+                    buf[o + 1] = n
                 else:
-                    blen = (w0 >> 20) & 0x7FF
-                    tl = (w1 >> 20) & 3
-                    ip = w1 & 0xFFFFF
-                    n = blen - 1
-                    if tl == 1:
-                        buf[o] = n << 2
-                    elif tl == 2:
-                        buf[o] = 60 << 2
-                        buf[o + 1] = n
-                    else:
-                        buf[o] = 61 << 2
-                        buf[o + 1] = n & 0xFF
-                        buf[o + 2] = n >> 8
-                    buf[o + tl : o + tl + blen] = data[c, ip : ip + blen]
+                    buf[o] = 61 << 2
+                    buf[o + 1] = n & 0xFF
+                    buf[o + 2] = n >> 8
+                buf[o + tl : o + tl + blen] = data[c, ip : ip + blen]
         out.append(buf.tobytes())
     return out
