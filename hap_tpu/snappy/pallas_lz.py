@@ -1,0 +1,511 @@
+"""Pallas emission kernel for the device LZ encoder (device_lz.py plans).
+
+Replays per-segment piece tables into conforming Snappy streams. Unlike the
+decode executor (pallas_exec.py) every piece's output position is
+PRECOMPUTED by the planner, so pieces carry no serial dependency — the
+kernel walks them in position order per chunk only because read-modify-
+write row merges are cheapest in order. Two specialized loops per segment:
+
+* copy pieces: up to 128 copy-2 elements (384 stream bytes) built entirely
+  from the record's scalars (offset/tag patterns via widx mod-3 selects) —
+  no payload bytes touched;
+* literal pieces: tag bytes + up to 1030 payload bytes streamed from the
+  resident chunk payload block with one unaligned window read and one
+  dynamic roll.
+
+Empty slots self-neutralize: an all-zero record decodes to a zero-size
+piece whose placement mask is empty, so per-chunk piece-count divergence
+inside a tile costs only the wasted vector work (no control flow — the
+executor's measured rule that predicated regions serialize Mosaic).
+
+Streams are bit-identical to device_lz.emit_reference (the test contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hap_tpu.snappy.device_lz import SEG_SLOTS, _varint, lz_bound
+
+_I32 = jnp.int32
+
+_ELR = 9   # literal payload window rows (tag 3 + 1030 bytes <= 1152 = 9*128)
+_CR = 3    # copy emission rows (384 bytes)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _lane128():
+    return jax.lax.broadcasted_iota(_I32, (1, 128), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def emit_lz_streams(
+    data: jnp.ndarray,        # (C, S) uint8 chunk payloads
+    tables_lit: jnp.ndarray,  # (C, NSEG*SEG_SLOTS, 2) int32
+    tables_copy: jnp.ndarray,
+    counts: jnp.ndarray,      # (C, NSEG, 2) int32 [lit, copy]
+    S: int,
+) -> jnp.ndarray:
+    """Emit each chunk's Snappy stream -> (C, bound) uint8.
+
+    The varint preamble is written XLA-side (static bytes); callers pair
+    the result with plan.comp_len.
+    """
+    C0 = data.shape[0]
+    NSEG = counts.shape[1]
+    bound = lz_bound(S)
+    pre = _varint(S)
+
+    tc = 4
+    if C0 % tc:
+        padc = tc - C0 % tc
+        data = jnp.pad(data, ((0, padc), (0, 0)))
+        tables_lit = jnp.pad(tables_lit, ((0, padc), (0, 0), (0, 0)))
+        tables_copy = jnp.pad(tables_copy, ((0, padc), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, ((0, padc), (0, 0), (0, 0)))
+    C = data.shape[0]
+
+    drows = -(-S // 128) + _ELR + 2
+    data_blocks = (
+        jnp.pad(data, ((0, 0), (0, drows * 128 - S)))
+        .astype(_I32).reshape(C, drows, 128)
+    )
+    tvals = NSEG * SEG_SLOTS * 2
+    trows = -(-tvals // 128) + 1
+    tl_blocks = jnp.pad(
+        tables_lit.reshape(C, tvals), ((0, 0), (0, trows * 128 - tvals))
+    ).reshape(C, trows, 128)
+    tcp_blocks = jnp.pad(
+        tables_copy.reshape(C, tvals), ((0, 0), (0, trows * 128 - tvals))
+    ).reshape(C, trows, 128)
+    meta = counts.reshape(C, NSEG * 2)
+    nblk = (-(-bound // 128) + _ELR + 4 + 7) // 8 * 8
+
+    def kernel(meta_ref, data_ref, tlit_ref, tcp_ref, out_ref):
+        lane = _lane128()
+        zrow = jnp.zeros((1, 128), _I32)
+
+        def read_record(tab_ref, j, s, k):
+            flat = (s * SEG_SLOTS + k) * 2
+            row = jnp.clip(flat >> 7, 0, trows - 2)
+            W = jnp.concatenate(
+                [tab_ref[j, row, :].reshape(1, 128),
+                 tab_ref[j, row + 1, :].reshape(1, 128)], axis=1)
+            Wr = pltpu.roll(W, (256 - (flat - (row << 7))) % 256, 1)
+            return Wr[0, 0], Wr[0, 1]
+
+        def place(j, e, q, ln, erows):
+            """Merge emission e ((erows,128) at phase 0) into the output
+            at byte q, masked to ln bytes (read-modify-write, in order
+            within a chunk)."""
+            widx = (
+                jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 0) * 128
+                + jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 1)
+            )
+            row0 = jnp.clip(q >> 7, 0, nblk - erows - 2)
+            r = q - ((q >> 7) << 7)
+            rolled = pltpu.roll(e, r, 1)
+            placed = jnp.where(
+                lane >= r,
+                jnp.concatenate([rolled, zrow], axis=0),
+                jnp.concatenate([zrow, rolled], axis=0),
+            )
+            m = (widx >= r) & (widx < r + ln)
+            cur = out_ref[j, pl.ds(row0, erows + 1), :]
+            out_ref[j, pl.ds(row0, erows + 1), :] = jnp.where(m, placed, cur)
+
+        cwidx = (
+            jax.lax.broadcasted_iota(_I32, (_CR, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (_CR, 128), 1)
+        )
+        cmod3 = cwidx - (cwidx // 3) * 3
+
+        def copy_piece(j, s, k):
+            w0, w1 = read_record(tcp_ref, j, s, k)
+            nel = (w0 >> 20) & 0x7FF
+            q = w0 & 0xFFFFF
+            d = w1 & 0x1FFFF
+            tail = (w1 >> 17) & 0x7F
+            tail_tag = 2 | ((tail - 1) << 2)
+            v = jnp.where(
+                cmod3 == 0, 254,
+                jnp.where(cmod3 == 1, d & 255, d >> 8))
+            v = jnp.where(cwidx == 3 * (nel - 1), tail_tag, v)
+            place(j, v, q, 3 * nel, _CR)
+
+        def lit_piece(j, s, k):
+            w0, w1 = read_record(tlit_ref, j, s, k)
+            blen = (w0 >> 20) & 0x7FF
+            q = w0 & 0xFFFFF
+            ip = w1 & 0xFFFFF
+            tl = (w1 >> 20) & 3
+            # payload window at phase 0
+            blk = jnp.clip(ip >> 7, 0, drows - _ELR - 2)
+            r = ip - (blk << 7)
+            a = data_ref[j, pl.ds(blk, _ELR + 1), :]
+            ar = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
+            dwin = jnp.where(lane < 128 - r, ar[:-1], ar[1:])  # (_ELR,128)
+            # shift right by the (dynamic) tag length
+            rolled = pltpu.roll(dwin, tl, 1)
+            em = jnp.where(
+                lane >= tl,
+                jnp.concatenate([rolled, zrow], axis=0),
+                jnp.concatenate([zrow, rolled], axis=0),
+            )  # (_ELR+1, 128); bytes at [tl, tl+blen)
+            n = blen - 1
+            t0 = jnp.where(tl == 1, n << 2, jnp.where(tl == 2, 240, 244))
+            t1 = jnp.where(tl == 2, n, n & 255)
+            t2 = n >> 8
+            tagrow = jnp.where(lane == 0, t0, jnp.where(lane == 1, t1, t2))
+            em0 = jnp.where(lane < tl, tagrow, em[0:1])
+            em = jnp.concatenate([em0, em[1:]], axis=0)
+            place(j, em, q, tl + blen, _ELR + 1)
+
+        def seg_body(s, _):
+            ccs = [meta_ref[j, 2 * s + 1] for j in range(tc)]
+            cls = [meta_ref[j, 2 * s] for j in range(tc)]
+            mxc = ccs[0]
+            mxl = cls[0]
+            for j in range(1, tc):
+                mxc = jnp.maximum(mxc, ccs[j])
+                mxl = jnp.maximum(mxl, cls[j])
+
+            def cbody(k, _):
+                for j in range(tc):
+                    copy_piece(j, s, k)
+                return 0
+
+            def lbody(k, _):
+                for j in range(tc):
+                    lit_piece(j, s, k)
+                return 0
+
+            jax.lax.fori_loop(0, mxc, cbody, 0)
+            jax.lax.fori_loop(0, mxl, lbody, 0)
+            return 0
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        jax.lax.fori_loop(0, NSEG, seg_body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(C // tc,),
+        in_specs=[
+            pl.BlockSpec((tc, NSEG * 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tc, drows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, trows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, trows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, nblk, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nblk, 128), _I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=_interpret(),
+    )(meta, data_blocks, tl_blocks, tcp_blocks)
+    out = out.reshape(C, nblk * 128)[:C0, :bound].astype(jnp.uint8)
+    return out.at[:, : len(pre)].set(jnp.asarray(pre)[None, :])
+
+
+# ---------------------------------------------------------------------------
+# Decode: general element-run walker for the device LZ profile
+# ---------------------------------------------------------------------------
+#
+# Decodes any stream this framework's device encoders emit — the LZ profile
+# (arbitrary-offset copy-2 runs, literal tags 1-3 bytes) AND the legacy RLE
+# profile (its copy2(offset=G) runs and 4 KB literals are just instances) —
+# plus raw chunks as a zero-tag literal state. Foreign streams using
+# copy-1/copy-4 elements, 4-byte literal lengths, or offsets < 16 flag
+# not-ok and route to the host/op-table path, same contract as the
+# structured decoder (snappy/device.py).
+#
+# Per chunk the walk is serial (tag chaining), so _DTC chunk chains run
+# stage-major per while-loop iteration. One iteration advances each chain
+# by ONE unit: a literal-head parse, a <=1024-byte literal/raw window copy,
+# or a batch of <=_KMAX identical copy-2 elements (one window compare finds
+# the run extent; the d-periodic fill doubles from the fixed source window
+# [outp-d, ...) since the written prefix is d-periodic).
+
+_DTC = 8    # chunk chains per grid step
+_WR = 9     # stream/out window rows per unit (1152 bytes visible)
+_KMAX = 16  # copy-2 elements consumed per step (<= 1024 out bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "out_words", "stride_span"))
+def decode_lz_streams_from_frame(
+    frame: jnp.ndarray,          # (F,) uint8 — whole frame bytes
+    chunk_offsets: jnp.ndarray,  # (C,) int32 absolute stream starts
+    comp_len: jnp.ndarray,       # (C,) int32
+    is_comp: jnp.ndarray,        # (C,) bool — snappy chunk vs raw chunk
+    S: int,
+    out_words: bool = False,
+    stride_span: int | None = None,
+):
+    """Decode C chunk streams out of the frame buffer.
+
+    Returns ((C, S) uint8, (C,) bool ok) — or (C, S//4) uint32 LE words
+    with ``out_words`` (packed from int32 byte lanes, ~free)."""
+    pre = _varint(S)
+    P = len(pre)
+    C0 = chunk_offsets.shape[0]
+    if C0 % _DTC:
+        padc = _DTC - C0 % _DTC
+        chunk_offsets = jnp.concatenate(
+            [chunk_offsets, jnp.broadcast_to(chunk_offsets[-1], (padc,))])
+        comp_len = jnp.pad(comp_len, (0, padc))
+        is_comp = jnp.pad(is_comp, (0, padc))
+    C = chunk_offsets.shape[0]
+
+    bound = lz_bound(S)
+    span = max(bound, stride_span or 0, S)
+    tcb = ((_DTC * span) // 128 + 8 + _WR + 4 + 7) // 8 * 8
+    fblk = (-(-frame.shape[0] // 128) + tcb + 7) // 8 * 8
+    frame_blocks = (
+        jnp.pad(frame, (0, fblk * 128 - frame.shape[0]))
+        .astype(_I32).reshape(fblk, 128)
+    )
+    nout = -(-S // 128)
+    nblk = (nout + _WR + 4 + 7) // 8 * 8
+    MAXSTEP = S + 16
+
+    def kernel(meta_ref, frame_ref, out_ref, ok_ref, scratch, sem):
+        base_blk = pl.multiple_of((meta_ref[0, 0] // 1024) * 8, 8)
+        dma = pltpu.make_async_copy(
+            frame_ref.at[pl.ds(base_blk, tcb), :], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
+        lane = _lane128()
+        zrow = jnp.zeros((1, 128), _I32)
+        widxW = (
+            jax.lax.broadcasted_iota(_I32, (_WR, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_I32, (_WR, 128), 1)
+        )
+        mod3 = widxW - (widxW // 3) * 3
+
+        def window(ref2d, cur, rows):
+            blk = jnp.clip(cur >> 7, 0, tcb - rows - 2)
+            r = cur - (blk << 7)
+            a = ref2d[pl.ds(blk, rows + 1), :]
+            ar = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
+            return jnp.where(lane < 128 - r, ar[:-1], ar[1:])
+
+        def out_window(j, q, rows):
+            blk = jnp.clip(q >> 7, 0, nblk - rows - 2)
+            r = q - (blk << 7)
+            a = out_ref[j, pl.ds(blk, rows + 1), :]
+            ar = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
+            return jnp.where(lane < 128 - r, ar[:-1], ar[1:])
+
+        def place_out(j, e, q, ln, erows):
+            widx = (
+                jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 0) * 128
+                + jax.lax.broadcasted_iota(_I32, (erows + 1, 128), 1)
+            )
+            row0 = jnp.clip(q >> 7, 0, nblk - erows - 2)
+            r = q - ((q >> 7) << 7)
+            rolled = pltpu.roll(e, r, 1)
+            placed = jnp.where(
+                lane >= r,
+                jnp.concatenate([rolled, zrow], axis=0),
+                jnp.concatenate([zrow, rolled], axis=0),
+            )
+            m = (widx >= r) & (widx < r + ln)
+            cur = out_ref[j, pl.ds(row0, erows + 1), :]
+            out_ref[j, pl.ds(row0, erows + 1), :] = jnp.where(m, placed, cur)
+
+        # absolute-in-scratch stream end per chain: caps element batching
+        # so a run's pattern can never be over-consumed into the adjacent
+        # chunk's bytes (they share the DMA scratch).
+        ends = []
+        for j in range(_DTC):
+            off_j = meta_ref[j, 0] - base_blk * 128
+            ends.append(off_j + jnp.where(
+                meta_ref[j, 2] != 0, meta_ref[j, 1], S))
+
+        def chain_step(j, cursor, outp, lit_rem, bad):
+            """One unit of work for chunk chain j. Returns new state."""
+            live = outp < S
+            is_cont = lit_rem > 0
+
+            # --- literal/raw continuation: bulk window copy ----------
+            n_cont = jnp.minimum(lit_rem, 1024)
+            w9 = window(scratch, cursor, _WR)
+            ln_c = jnp.where(live & is_cont, n_cont, 0)
+            place_out(j, w9[:8], outp, ln_c, 8)
+
+            # --- element head ---------------------------------------
+            head = live & (~is_cont)
+            tag = w9[0, 0]
+            kind = tag & 3
+            t6 = (tag >> 2) & 63
+            is_lit = head & (kind == 0)
+            tl = jnp.where(t6 < 60, 1, jnp.where(t6 == 60, 2, 3))
+            llen = jnp.where(
+                t6 < 60, t6 + 1,
+                jnp.where(t6 == 60, w9[0, 1] + 1,
+                          (w9[0, 1] | (w9[0, 2] << 8)) + 1))
+            is_cp = head & (kind == 2)
+            d = w9[0, 1] | (w9[0, 2] << 8)
+            clen = t6 + 1
+
+            badd = jnp.where(is_lit & (t6 > 61), 1, 0)
+            badd += jnp.where(head & ((kind == 1) | (kind == 3)), 1, 0)
+            badd += jnp.where(is_cp & ((d < 16) | (d > outp)), 1, 0)
+
+            # identical-element run extent within the visible window
+            pat = jnp.where(mod3 == 0, tag,
+                            jnp.where(mod3 == 1, w9[0, 1], w9[0, 2]))
+            mism = jnp.where(w9 != pat, widxW, _WR * 128)
+            first = jnp.min(mism)
+            k = jnp.clip(first // 3, 1, _KMAX)
+            k = jnp.minimum(k, jnp.maximum((ends[j] - cursor) // 3, 1))
+            k = jnp.where(clen == 64, k, 1)
+            L_out = k * clen
+
+            # --- copy fill: doubling from the fixed [outp-d, .) window
+            ok_cp = is_cp & (badd == 0)
+
+            def fill_round(r, Wn):
+                @pl.when(ok_cp & (Wn < L_out))
+                def _():
+                    src = out_window(j, outp - d, 8)
+                    n_r = jnp.minimum(L_out - Wn, Wn + d)
+                    n_r = jnp.minimum(n_r, 1024)
+                    place_out(j, src, outp + Wn, n_r, 8)
+                # written grows min(L, 2W+d, W+1024): d, 3d, 7d ... so 7
+                # rounds cover L_out <= 1024 for any d >= 16
+                return jnp.where(
+                    ok_cp,
+                    jnp.minimum(L_out,
+                                jnp.minimum(2 * Wn + d, Wn + 1024)),
+                    Wn)
+
+            jax.lax.fori_loop(0, 7, fill_round, jnp.int32(0))
+
+            # --- advance --------------------------------------------
+            cursor = cursor + jnp.where(
+                is_cont & live, n_cont,
+                jnp.where(is_lit, tl, jnp.where(is_cp, 3 * k, 0)))
+            outp = outp + jnp.where(
+                is_cont & live, n_cont, jnp.where(ok_cp, L_out, 0))
+            lit_rem = jnp.where(
+                is_cont & live, lit_rem - n_cont,
+                jnp.where(is_lit, llen, 0))
+            # stuck or invalid: kill the chain, flag bad
+            dead = head & (badd > 0)
+            outp = jnp.where(dead, S, outp)
+            lit_rem = jnp.where(dead, 0, lit_rem)
+            bad = bad + jnp.where(badd > 0, 1, 0)
+            return cursor, outp, lit_rem, bad
+
+        # init per chain
+        carry = []
+        for j in range(_DTC):
+            off = meta_ref[j, 0] - base_blk * 128
+            clen_j = meta_ref[j, 1]
+            comp_j = meta_ref[j, 2] != 0
+            w = window(scratch, off, 1)
+            pbad = jnp.int32(0)
+            for i, pb in enumerate(pre):
+                pbad += jnp.where(comp_j & (w[0, i] != int(pb)), 1, 0)
+            cursor = off + jnp.where(comp_j, P, 0)
+            lit_rem = jnp.where(comp_j, 0, S)
+            carry.extend([cursor, jnp.int32(0), lit_rem, pbad])
+
+        def cond(c):
+            live = c[1] < S
+            for j in range(1, _DTC):
+                live = live | (c[4 * j + 1] < S)
+            return live & (c[4 * _DTC] < MAXSTEP)
+
+        def body(c):
+            out = []
+            for j in range(_DTC):
+                out.extend(chain_step(
+                    j, c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3]))
+            return tuple(out) + (c[4 * _DTC] + 1,)
+
+        final = jax.lax.while_loop(
+            cond, body, tuple(carry) + (jnp.int32(0),))
+
+        for j in range(_DTC):
+            off = meta_ref[j, 0] - base_blk * 128
+            clen_j = meta_ref[j, 1]
+            comp_j = meta_ref[j, 2] != 0
+            cursor, outp, lit_rem, bad = (
+                final[4 * j], final[4 * j + 1], final[4 * j + 2],
+                final[4 * j + 3])
+            bad = bad + jnp.where(outp != S, 1, 0)
+            bad = bad + jnp.where(lit_rem != 0, 1, 0)
+            end_ok = cursor - off == jnp.where(comp_j, clen_j, S)
+            bad = bad + jnp.where(end_ok, 0, 1)
+            ok_ref[j, :] = jnp.broadcast_to(
+                jnp.where(bad == 0, 0, 1), (128,))
+
+    meta = jnp.stack(
+        [chunk_offsets.astype(_I32), comp_len.astype(_I32),
+         is_comp.astype(_I32)], axis=1)
+    out, badv = pl.pallas_call(
+        kernel,
+        grid=(C // _DTC,),
+        in_specs=[
+            pl.BlockSpec((_DTC, 3), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((_DTC, nblk, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DTC, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, nblk, 128), _I32),
+            jax.ShapeDtypeStruct((C, 128), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tcb, 128), _I32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(meta, frame_blocks)
+    ok = jnp.sum(badv[:C0], axis=1) == 0
+    if out_words:
+        assert S % 4 == 0
+        y = out[:, :nout, :].reshape(C, nout * 32, 4).astype(jnp.uint32)
+        words = (y[..., 0] | (y[..., 1] << 8) | (y[..., 2] << 16)
+                 | (y[..., 3] << 24))
+        return words[:C0, : S // 4], ok
+    out = out[:, :nout, :].reshape(C, nout * 128)[:C0, :S].astype(jnp.uint8)
+    return out, ok
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def decode_lz_streams(
+    comp: jnp.ndarray,      # (C, B) uint8 streams
+    comp_len: jnp.ndarray,  # (C,) int32
+    S: int,
+):
+    """((C, B) streams, lens) -> ((C, S) uint8, (C,) ok)."""
+    C, B = comp.shape
+    flat = comp.reshape(-1)
+    offsets = jnp.arange(C, dtype=_I32) * B
+    return decode_lz_streams_from_frame(
+        flat, offsets, comp_len.astype(_I32),
+        jnp.ones((C,), jnp.bool_), S, stride_span=B,
+    )

@@ -157,6 +157,165 @@ def test_plan_comp_len_matches_emission():
         assert len(st) == int(np.asarray(plan.comp_len)[c])
 
 
+def _kernel_matches_reference(data: np.ndarray, S: int, row_bytes: int):
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.pallas_lz import emit_lz_streams
+
+    plan = plan_lz(jnp.asarray(data), S, 8, row_bytes)
+    ref = emit_reference(data, plan, S)
+    out = np.asarray(emit_lz_streams(
+        jnp.asarray(data), plan.tables_lit, plan.tables_copy,
+        plan.counts, S))
+    comp_len = np.asarray(plan.comp_len)
+    for c in range(data.shape[0]):
+        got = out[c, : comp_len[c]].tobytes()
+        assert got == ref[c], (
+            f"chunk {c}: kernel stream differs at byte "
+            f"{next(i for i, (a, b) in enumerate(zip(got, ref[c])) if a != b)}"
+        )
+
+
+def test_emit_kernel_bit_identical_flat():
+    data = np.full((2, 4096), 0xAB, np.uint8)
+    data[1, :16] = np.arange(16)
+    _kernel_matches_reference(data, 4096, 256)
+
+
+def test_emit_kernel_bit_identical_mixed():
+    rng = np.random.default_rng(12)
+    S = 16384
+    data = np.zeros((5, S), np.uint8)
+    for c in range(5):
+        a = rng.integers(0, 256, S, dtype=np.uint8)
+        cut1, cut2 = (c + 1) * S // 8, S // 2 + c * S // 10
+        a[:cut1] = 3 * c + 2
+        block = rng.integers(0, 256, 16, dtype=np.uint8)
+        a[cut2:] = np.tile(block, -(-(S - cut2) // 16))[: S - cut2]
+        # sprinkle partial-word mutations to exercise byte extensions
+        for p in rng.integers(cut2, S - 1, 5):
+            a[p] ^= 0x5A
+        data[c] = a
+    _kernel_matches_reference(data, S, 960)
+
+
+def test_emit_kernel_bit_identical_dxt():
+    import jax.numpy as jnp
+
+    from hap_tpu.pipeline.device_pipeline import _encode_blocks
+
+    H = W = 64
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 40, (H, W, 3), dtype=np.uint8)
+    img[: H // 2] = [9, 200, 120]
+    words = _encode_blocks("hap_q", jnp.asarray(img))
+    payload = np.ascontiguousarray(np.asarray(words), dtype="<u4").tobytes()
+    S = len(payload) // 2
+    data = np.frombuffer(payload, np.uint8).reshape(2, S)
+    _kernel_matches_reference(data, S, 4 * W)
+
+
+def _decode_roundtrip(data: np.ndarray, S: int, row_bytes: int):
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.device_lz import lz_bound
+    from hap_tpu.snappy.pallas_lz import decode_lz_streams, emit_lz_streams
+
+    plan = plan_lz(jnp.asarray(data), S, 8, row_bytes)
+    comp = emit_lz_streams(jnp.asarray(data), plan.tables_lit,
+                           plan.tables_copy, plan.counts, S)
+    out, ok = decode_lz_streams(comp, plan.comp_len, S)
+    assert np.asarray(ok).all(), np.asarray(ok)
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_decode_kernel_roundtrips_lz_streams():
+    rng = np.random.default_rng(21)
+    S = 16384
+    data = np.zeros((3, S), np.uint8)
+    for c in range(3):
+        a = rng.integers(0, 256, S, dtype=np.uint8)
+        a[: S // 3] = 5 * c + 3
+        block = rng.integers(0, 256, 16, dtype=np.uint8)
+        a[S // 2 :] = np.tile(block, -(-(S - S // 2) // 16))[: S - S // 2]
+        for p in rng.integers(S // 2, S - 1, 4):
+            a[p] ^= 0x77
+        data[c] = a
+    _decode_roundtrip(data, S, 960)
+
+
+def test_decode_kernel_handles_raw_and_mixed_chunks():
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.device_lz import lz_bound
+    from hap_tpu.snappy.pallas_lz import (
+        decode_lz_streams_from_frame,
+        emit_lz_streams,
+    )
+
+    rng = np.random.default_rng(22)
+    S = 8192
+    flat = np.full(S, 0x3C, np.uint8)
+    noisy = rng.integers(0, 256, S, dtype=np.uint8)
+    data = np.stack([flat, noisy])
+    plan = plan_lz(jnp.asarray(data), S, 8, 256)
+    comp = np.asarray(emit_lz_streams(
+        jnp.asarray(data), plan.tables_lit, plan.tables_copy,
+        plan.counts, S))
+    comp_len = np.asarray(plan.comp_len).copy()
+    assert comp_len[0] < S and comp_len[1] >= S  # per-chunk raw fallback
+    # frame layout: [chunk0 compressed][chunk1 raw]
+    frame = np.concatenate([comp[0, : comp_len[0]], noisy])
+    offs = np.asarray([0, comp_len[0]], np.int32)
+    lens = np.asarray([comp_len[0], S], np.int32)
+    is_comp = np.asarray([True, False])
+    out, ok = decode_lz_streams_from_frame(
+        jnp.asarray(frame), jnp.asarray(offs), jnp.asarray(lens),
+        jnp.asarray(is_comp), S)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_decode_kernel_accepts_legacy_rle_streams():
+    # the RLE structured profile (snappy/device.py) is a sub-language:
+    # big literals + copy2(offset=G) runs — the LZ walker must decode it
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.device import snappy_encode_chunks
+    from hap_tpu.snappy.pallas_lz import decode_lz_streams
+
+    S, G = 8192, 16
+    rng = np.random.default_rng(23)
+    block = rng.integers(0, 256, G, dtype=np.uint8)
+    periodic = np.tile(block, S // G)
+    lit = rng.integers(0, 256, S, dtype=np.uint8)
+    data = np.stack([periodic, lit])
+    comp, comp_len = snappy_encode_chunks(jnp.asarray(data), S, G,
+                                          impl="xla")
+    out, ok = decode_lz_streams(comp, comp_len, S)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_decode_kernel_rejects_foreign_streams():
+    # pyref/google-snappy emit copy-1 elements and small offsets the
+    # device profile excludes: must flag not-ok (host-fallback contract)
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.pallas_lz import decode_lz_streams
+
+    rng = np.random.default_rng(24)
+    S = 4096
+    payload = np.tile(rng.integers(0, 256, 8, dtype=np.uint8), S // 8)
+    st = np.frombuffer(pyref.compress(payload.tobytes()), np.uint8)
+    B = 4608
+    comp = np.zeros((1, B), np.uint8)
+    comp[0, : len(st)] = st
+    out, ok = decode_lz_streams(
+        jnp.asarray(comp), jnp.asarray([len(st)], np.int32), S)
+    assert not bool(np.asarray(ok)[0])
+
+
 def test_dxt_payload_ratio_beats_raw():
     # a small real BCn payload via the pipeline encoder: graphics-like
     # content must compress (the r4 device encoder stored this raw)
