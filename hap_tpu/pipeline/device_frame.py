@@ -44,6 +44,60 @@ _I32 = jnp.int32
 _U8 = jnp.uint8
 
 
+def _lz_enabled() -> bool:
+    """Device snappy profile switch: the LZ encoder/decoder (round 5,
+    real second-stage compression — snappy/device_lz.py) is the default;
+    HAP_TPU_DEVICE_LZ=0 reverts to the r4 G-periodic RLE profile. Read at
+    trace time — flip it before the first jit of a shape (same caveat as
+    HAP_TPU_FRAME_DIRECT_DECODE)."""
+    import os
+
+    return os.environ.get("HAP_TPU_DEVICE_LZ", "1") == "1"
+
+
+def _decode_chunk_streams(frame, pos, csizes, cis, S: int, G: int,
+                          out_words: bool):
+    """Frame-direct per-chunk stream decode under the active profile.
+
+    LZ profile: raw chunks go through the structured kernel's tuned
+    strided-copy path (the LZ walker's 1 KB literal steps are ~10x slower
+    for bulk raw data — measured 9 ms on a natural 4K frame's 48 raw
+    chunks) while compressed chunks go through the LZ element-run walker
+    with raw chains dead; outputs merge per chunk."""
+    from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
+
+    if not _lz_enabled():
+        return decode_streams_from_frame(
+            frame, pos, csizes, cis, S, G, out_words=out_words)
+    from hap_tpu.snappy.pallas_lz import decode_lz_streams_from_frame
+
+    out_lz, ok_lz = decode_lz_streams_from_frame(
+        frame, pos, csizes, cis, S, out_words=out_words, skip_raw=True)
+    out_raw, ok_raw = decode_streams_from_frame(
+        frame, pos, jnp.full_like(csizes, S),
+        jnp.zeros_like(cis, jnp.bool_), S, G, out_words=out_words)
+    out = jnp.where(cis[:, None], out_lz, out_raw)
+    return out, jnp.where(cis, ok_lz, ok_raw)
+
+
+def _encode_chunks(payload_2d, S: int, G: int, row_bytes: int, bound: int):
+    """Per-chunk snappy streams under the active profile, padded to the
+    layout bound: ((C, bound) u8, (C,) i32 comp_len)."""
+    if _lz_enabled():
+        from hap_tpu.snappy.device_lz import plan_lz
+        from hap_tpu.snappy.pallas_lz import emit_lz_streams
+
+        plan = plan_lz(payload_2d, S, G, row_bytes)
+        comp = emit_lz_streams(
+            payload_2d, plan.tables_lit, plan.tables_copy, plan.counts, S)
+        comp_len = plan.comp_len
+    else:
+        comp, comp_len = snappy_encode_chunks(payload_2d, S, G)
+    if comp.shape[1] < bound:
+        comp = jnp.pad(comp, ((0, 0), (0, bound - comp.shape[1])))
+    return comp[:, :bound], comp_len
+
+
 def _u32le(x):
     """int32 scalar/array -> 4 little-endian uint8 lanes (last axis)."""
     x = x.astype(jnp.uint32)
@@ -64,13 +118,20 @@ def _header8(section_length, section_type: int):
 
 
 def frame_layout(input_bytes: int, chunk_count: int, G: int):
-    """Static layout facts for a (input_bytes, chunk_count) frame."""
+    """Static layout facts for a (input_bytes, chunk_count) frame.
+
+    ``bound`` covers BOTH device snappy profiles (RLE and LZ) so the frame
+    shape is independent of the HAP_TPU_DEVICE_LZ switch (a few hundred
+    bytes per chunk of slack on the smaller profile)."""
+    from hap_tpu.snappy.device_lz import lz_bound
+
     S = input_bytes // chunk_count
     dil = 5 * chunk_count + 8
     top_hdr = 8 if input_bytes > UINT24_MAX else 4
     if input_bytes + dil + 4 > UINT24_MAX:
         top_hdr = 8  # hap.c:425-428
     _, _, _, _, _, _, bound = _unit_layout(S, G)
+    bound = max(bound, lz_bound(S))
     payload_off = top_hdr + 4 + dil
     fmax = payload_off + chunk_count * bound
     fmax = max(fmax, top_hdr + input_bytes)  # raw-fallback shape
@@ -233,24 +294,29 @@ def _assemble_frame(payload, comp, comp_len, chunk_count, fmt_id, G):
     return frame, frame_len.astype(_I32), stats
 
 
-@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G", "row_bytes"))
 def encode_frame_device(
-    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int,
+    row_bytes: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(input_bytes,) uint8 DXT payload -> ((fmax,) uint8 frame, frame_len).
 
     chunk_count must already be legal (container.plan.legalize_chunk_count).
+    row_bytes (bytes per 4-pixel block row, G*W/4) seeds the LZ profile's
+    vertical-match candidates; 0 keeps the block-multiple ladder only.
     """
     C = chunk_count
     S = payload.shape[0] // C
-    comp, comp_len = snappy_encode_chunks(payload.reshape(C, S), S, G)
+    bound = frame_layout(payload.shape[0], C, G)[3]
+    comp, comp_len = _encode_chunks(payload.reshape(C, S), S, G, row_bytes, bound)
     frame, flen, _ = _assemble_frame(payload, comp, comp_len, C, fmt_id, G)
     return frame, flen
 
 
-@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G", "row_bytes"))
 def encode_frame_device_stats(
-    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+    payload: jnp.ndarray, chunk_count: int, fmt_id: int, G: int,
+    row_bytes: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """encode_frame_device + a (3,) int32 stats vector:
 
@@ -262,13 +328,15 @@ def encode_frame_device_stats(
     """
     C = chunk_count
     S = payload.shape[0] // C
-    comp, comp_len = snappy_encode_chunks(payload.reshape(C, S), S, G)
+    bound = frame_layout(payload.shape[0], C, G)[3]
+    comp, comp_len = _encode_chunks(payload.reshape(C, S), S, G, row_bytes, bound)
     return _assemble_frame(payload, comp, comp_len, C, fmt_id, G)
 
 
-@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G"))
+@partial(jax.jit, static_argnames=("chunk_count", "fmt_id", "G", "row_bytes"))
 def encode_frames_device(
-    payloads: jnp.ndarray, chunk_count: int, fmt_id: int, G: int
+    payloads: jnp.ndarray, chunk_count: int, fmt_id: int, G: int,
+    row_bytes: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GOP-batched encode: (B, input_bytes) -> ((B, fmax) frames, (B,) lens).
 
@@ -280,7 +348,9 @@ def encode_frames_device(
     B, input_bytes = payloads.shape
     C = chunk_count
     S = input_bytes // C
-    comp, comp_len = snappy_encode_chunks(payloads.reshape(B * C, S), S, G)
+    bound = frame_layout(input_bytes, C, G)[3]
+    comp, comp_len = _encode_chunks(
+        payloads.reshape(B * C, S), S, G, row_bytes, bound)
     comp = comp.reshape(B, C, -1)
     comp_len = comp_len.reshape(B, C)
 
@@ -363,8 +433,6 @@ def decode_frame_device(
     import os
 
     if os.environ.get("HAP_TPU_FRAME_DIRECT_DECODE", "1") == "1":
-        from hap_tpu.snappy.pallas_kernels import decode_streams_from_frame
-
         # One unified kernel route: raw-stored frames (compressor None,
         # hap.c:478-495) become C raw chunks of size S at stride S — the
         # kernel's raw-unit path is exactly a strided copy, and it packs
@@ -374,9 +442,8 @@ def decode_frame_device(
         pos = jnp.where(is_raw, raw_positions, positions)
         csizes = jnp.where(is_raw, S, sizes)
         cis = jnp.where(is_raw, False, is_comp)
-        out, chunk_ok = decode_streams_from_frame(
-            frame, pos, csizes, cis, S, G, out_words=out_words
-        )
+        out, chunk_ok = _decode_chunk_streams(
+            frame, pos, csizes, cis, S, G, out_words)
         table_ok = jnp.where(is_raw, True, okc)
         chunks_ok = jnp.all(chunk_ok)
         okr = table_ok & chunks_ok
@@ -404,7 +471,12 @@ def decode_frame_device(
             return None, win
 
         _, windows = jax.lax.scan(body, None, jnp.arange(C, dtype=_I32))
-        dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
+        if _lz_enabled():
+            from hap_tpu.snappy.pallas_lz import decode_lz_streams
+
+            dec, chunk_ok = decode_lz_streams(windows, sizes, S)
+        else:
+            dec, chunk_ok = snappy_decode_chunks(windows, sizes, S, G)
         raw = windows[:, :S]
         out = jnp.where(is_comp[:, None], dec, raw)
         okd = ok & okc & jnp.all(chunk_ok | ~is_comp)
@@ -500,14 +572,14 @@ def decode_frames_device(
         )
     pos = pos + (jnp.arange(B, dtype=_I32) * fstride)[:, None]
 
-    out, chunk_ok = decode_streams_from_frame(
+    out, chunk_ok = _decode_chunk_streams(
         frames.reshape(-1),
         pos.reshape(-1),
         csizes.reshape(-1),
         cis_comp.reshape(-1),
         S,
         G,
-        out_words=out_words,
+        out_words,
     )
     w = out.shape[-1]
     out = out.reshape(B, Cp, w)[:, :C].reshape(B, C * w)

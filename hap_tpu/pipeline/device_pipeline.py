@@ -238,7 +238,8 @@ def _encode_texture_device(img, codec, fmt, chunk_count, effort="high"):
     cc = plan_chunks(h, w, fmt, chunk_count)
     words = _encode_blocks(codec, img, effort)
     payload = words_to_payload(words)
-    return encode_frame_device(payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+    return encode_frame_device(
+        payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g, row_bytes=g * w // 4)
 
 
 def _encode_texture_device_stats(img, codec, fmt, chunk_count, effort="high"):
@@ -250,7 +251,7 @@ def _encode_texture_device_stats(img, codec, fmt, chunk_count, effort="high"):
     words = _encode_blocks(codec, img, effort)
     payload = words_to_payload(words)
     frame, flen, stats = encode_frame_device_stats(
-        payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g
+        payload, cc, CONSTANT_TO_FORMAT_ID[fmt], g, row_bytes=g * w // 4
     )
     # Extend to the per-texture stats row: [input_bytes, chunk_count,
     # snappy_chunks, payload_bytes_emitted, whole_frame_raw, frame_len].
@@ -590,7 +591,8 @@ def encode_pipeline_gop(
     cc = plan_chunks(h, w, fmt, chunk_count)
     words = _encode_blocks_gop(codec, imgs)
     payloads = words_to_payload(words).reshape(B, -1)
-    return encode_frames_device(payloads, cc, CONSTANT_TO_FORMAT_ID[fmt], g)
+    return encode_frames_device(
+        payloads, cc, CONSTANT_TO_FORMAT_ID[fmt], g, row_bytes=g * w // 4)
 
 
 @partial(jax.jit, static_argnames=("codec", "height", "width", "chunk_count"))

@@ -70,21 +70,25 @@ _FOLD_LIMIT = SEG_SLOTS - 4  # copy-run starts per segment before the
 # pieces + <=1 copy-split anchor + slack)
 
 
-def candidate_distances(S: int, row_bytes: int) -> Tuple[int, ...]:
+def candidate_distances(S: int, row_bytes: int, G: int = 16) -> Tuple[int, ...]:
     """Static candidate byte offsets for a chunk of S bytes in a frame with
-    ``row_bytes`` per block row. All multiples of 4 (word lattice), < S,
-    <= 65535 (copy-2 range), <= 28 entries, sorted ascending (selection
-    tie-break prefers earlier = smaller offsets)."""
-    cands = list(range(16, 257, 16))
-    cands += [320, 384, 512, 768, 1024, 2048, 4096]
+    ``row_bytes`` per block row and G-byte blocks. All multiples of 4 (word
+    lattice), < S, <= 65535 (copy-2 range), <= 28 entries, sorted ascending
+    (selection tie-break prefers earlier = smaller offsets). The ladder is
+    block multiples 1..16 (the probe: >99% of google snappy's savings on
+    DXT payloads sit on the block stride), a few coarser multiples, and
+    the frame's block-row stride +-1 block (vertical matches)."""
+    G = G if G in (8, 16) else 16
+    cands = list(range(G, 16 * G + 1, G))
+    cands += [20 * G, 24 * G, 32 * G, 48 * G, 64 * G, 128 * G, 256 * G]
     if row_bytes % 4 == 0 and row_bytes > 0:
-        cands += [row_bytes - 16, row_bytes, row_bytes + 16,
+        cands += [row_bytes - G, row_bytes, row_bytes + G,
                   2 * row_bytes, 3 * row_bytes]
     out = sorted({d for d in cands if 4 <= d < min(S, 65536) and d % 4 == 0})
     if len(out) > 28:
         # drop the least-valuable mid-ladder entries first (measured: the
         # low block multiples and the row strides carry the savings)
-        drop = [224, 176, 208, 112, 304]
+        drop = [14 * G, 11 * G, 13 * G, 7 * G, 19 * G]
         out = [d for d in out if d not in drop][:28]
     return tuple(out)
 
@@ -170,7 +174,7 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
     N = S // 4
     NSEG = -(-N // SEG_WORDS)
     Np = NSEG * SEG_WORDS
-    cands = candidate_distances(S, row_bytes)
+    cands = candidate_distances(S, row_bytes, G)
     P_VAR = len(_varint(S))
 
     b4 = data.reshape(C, N, 4).astype(_I32)

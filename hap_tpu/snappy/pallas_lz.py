@@ -86,7 +86,11 @@ def emit_lz_streams(
     tcp_blocks = jnp.pad(
         tables_copy.reshape(C, tvals), ((0, 0), (0, trows * 128 - tvals))
     ).reshape(C, trows, 128)
-    meta = counts.reshape(C, NSEG * 2)
+    # SMEM blocks need their leading dim divisible by 8 (or equal to the
+    # array's): group per grid step and pad tc -> 8 rows per group.
+    G_steps = C // tc
+    meta = jnp.zeros((G_steps, 8, NSEG * 2), _I32).at[:, :tc, :].set(
+        counts.reshape(G_steps, tc, NSEG * 2)).reshape(G_steps * 8, NSEG * 2)
     nblk = (-(-bound // 128) + _ELR + 4 + 7) // 8 * 8
 
     def kernel(meta_ref, data_ref, tlit_ref, tcp_ref, out_ref):
@@ -199,7 +203,7 @@ def emit_lz_streams(
         kernel,
         grid=(C // tc,),
         in_specs=[
-            pl.BlockSpec((tc, NSEG * 2), lambda i: (i, 0),
+            pl.BlockSpec((8, NSEG * 2), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, drows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,7 +232,7 @@ def emit_lz_streams(
 # (arbitrary-offset copy-2 runs, literal tags 1-3 bytes) AND the legacy RLE
 # profile (its copy2(offset=G) runs and 4 KB literals are just instances) —
 # plus raw chunks as a zero-tag literal state. Foreign streams using
-# copy-1/copy-4 elements, 4-byte literal lengths, or offsets < 16 flag
+# copy-1/copy-4 elements, 4-byte literal lengths, or offsets < 8 flag
 # not-ok and route to the host/op-table path, same contract as the
 # structured decoder (snappy/device.py).
 #
@@ -244,7 +248,8 @@ _WR = 9     # stream/out window rows per unit (1152 bytes visible)
 _KMAX = 16  # copy-2 elements consumed per step (<= 1024 out bytes)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "out_words", "stride_span"))
+@functools.partial(
+    jax.jit, static_argnames=("S", "out_words", "stride_span", "skip_raw"))
 def decode_lz_streams_from_frame(
     frame: jnp.ndarray,          # (F,) uint8 — whole frame bytes
     chunk_offsets: jnp.ndarray,  # (C,) int32 absolute stream starts
@@ -253,11 +258,17 @@ def decode_lz_streams_from_frame(
     S: int,
     out_words: bool = False,
     stride_span: int | None = None,
+    skip_raw: bool = False,
 ):
     """Decode C chunk streams out of the frame buffer.
 
     Returns ((C, S) uint8, (C,) bool ok) — or (C, S//4) uint32 LE words
-    with ``out_words`` (packed from int32 byte lanes, ~free)."""
+    with ``out_words`` (packed from int32 byte lanes, ~free).
+
+    ``skip_raw``: raw chunks' chains start dead (ok, no output) — the
+    caller routes them through the structured kernel's strided-copy path
+    instead (the walker's 1 KB literal steps are ~10x slower than that
+    for bulk raw data) and merges per chunk."""
     pre = _varint(S)
     P = len(pre)
     C0 = chunk_offsets.shape[0]
@@ -365,7 +376,7 @@ def decode_lz_streams_from_frame(
 
             badd = jnp.where(is_lit & (t6 > 61), 1, 0)
             badd += jnp.where(head & ((kind == 1) | (kind == 3)), 1, 0)
-            badd += jnp.where(is_cp & ((d < 16) | (d > outp)), 1, 0)
+            badd += jnp.where(is_cp & ((d < 8) | (d > outp)), 1, 0)
 
             # identical-element run extent within the visible window
             pat = jnp.where(mod3 == 0, tag,
@@ -387,15 +398,15 @@ def decode_lz_streams_from_frame(
                     n_r = jnp.minimum(L_out - Wn, Wn + d)
                     n_r = jnp.minimum(n_r, 1024)
                     place_out(j, src, outp + Wn, n_r, 8)
-                # written grows min(L, 2W+d, W+1024): d, 3d, 7d ... so 7
-                # rounds cover L_out <= 1024 for any d >= 16
+                # written grows min(L, 2W+d, W+1024): d, 3d, 7d ... so 8
+                # rounds cover L_out <= 1024 for any d >= 8
                 return jnp.where(
                     ok_cp,
                     jnp.minimum(L_out,
                                 jnp.minimum(2 * Wn + d, Wn + 1024)),
                     Wn)
 
-            jax.lax.fori_loop(0, 7, fill_round, jnp.int32(0))
+            jax.lax.fori_loop(0, 8, fill_round, jnp.int32(0))
 
             # --- advance --------------------------------------------
             cursor = cursor + jnp.where(
@@ -425,7 +436,14 @@ def decode_lz_streams_from_frame(
                 pbad += jnp.where(comp_j & (w[0, i] != int(pb)), 1, 0)
             cursor = off + jnp.where(comp_j, P, 0)
             lit_rem = jnp.where(comp_j, 0, S)
-            carry.extend([cursor, jnp.int32(0), lit_rem, pbad])
+            outp0 = jnp.int32(0)
+            if skip_raw:
+                # raw chains: dead immediately, counted ok by the final
+                # checks (cursor advanced to the full raw extent)
+                outp0 = jnp.where(comp_j, 0, S)
+                lit_rem = jnp.int32(0)
+                cursor = jnp.where(comp_j, cursor, off + S)
+            carry.extend([cursor, outp0, lit_rem, pbad])
 
         def cond(c):
             live = c[1] < S

@@ -165,10 +165,14 @@ def test_device_frame_container_bytes_match_host(rng):
     assert dev_frame == host_frame
 
 
-def test_device_decode_flags_foreign_compressed(rng):
-    # Chunk size spans several structured units: when S == U, google-snappy
-    # output for whole-literal or whole-periodic chunks is byte-identical to
-    # the structured profile (legitimately ok=True), so force S = 2U.
+def test_device_decode_foreign_compressed_exact_or_flagged(rng):
+    # Foreign-encoded (native hash-matcher) frames through the device
+    # decoder: with the r5 LZ walker, streams whose elements stay inside
+    # the device profile (copy-2, offsets >= 8) decode BIT-EXACTLY; any
+    # out-of-profile element flags not-ok (host fallback). The invariant
+    # under test: the device decoder never returns ok with wrong bytes.
+    # (The r4 structured decoder rejected all of these; HAP_TPU_DEVICE_LZ=0
+    # restores that behavior.)
     from hap_tpu.snappy.device import _UNIT
 
     g = 16
@@ -178,7 +182,8 @@ def test_device_decode_flags_foreign_compressed(rng):
         dec, ok = decode_frame_device(
             jnp.asarray(np.frombuffer(f_native, np.uint8)), len(payload), 8, 0xE, g
         )
-        assert not bool(np.asarray(ok))
+        if bool(np.asarray(ok)):
+            np.testing.assert_array_equal(np.asarray(dec), payload)
 
 
 # ---------------------------------------------------------------------------

@@ -298,13 +298,57 @@ def test_decode_kernel_accepts_legacy_rle_streams():
 
 
 def test_decode_kernel_rejects_foreign_streams():
-    # pyref/google-snappy emit copy-1 elements and small offsets the
-    # device profile excludes: must flag not-ok (host-fallback contract)
+    # copy-1 elements and offsets < 8 are outside the device profile and
+    # must flag not-ok (host-fallback contract). Hand-built conforming
+    # streams (the elements google snappy emits for short nearby matches).
     import jax.numpy as jnp
 
     from hap_tpu.snappy.pallas_lz import decode_lz_streams
 
+    S = 256
     rng = np.random.default_rng(24)
+    base = rng.integers(0, 256, S, dtype=np.uint8).tobytes()
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | 0x80 if v else b7])
+            if not v:
+                return out
+
+    # stream A: 100-byte literal + copy-1(len 6, off 50) + literal tail
+    stA = varint(S)
+    stA += bytes([60 << 2, 99]) + base[:100]
+    stA += bytes([1 | ((6 - 4) << 2), 50])  # copy-1
+    rest = S - 106
+    stA += bytes([60 << 2, rest - 1]) + base[100 : 100 + rest]
+    # stream B: 8-byte literal + copy-2(len 64, offset 4) + tail literal
+    stB = varint(S)
+    stB += bytes([7 << 2]) + base[:8]
+    stB += bytes([2 | (63 << 2), 4, 0])  # offset 4 < 8: rejected
+    rest = S - 72
+    stB += bytes([60 << 2, rest - 1]) + base[72 : 72 + rest]
+
+    B = 512
+    comp = np.zeros((2, B), np.uint8)
+    comp[0, : len(stA)] = np.frombuffer(stA, np.uint8)
+    comp[1, : len(stB)] = np.frombuffer(stB, np.uint8)
+    lens = np.asarray([len(stA), len(stB)], np.int32)
+    out, ok = decode_lz_streams(jnp.asarray(comp), jnp.asarray(lens), S)
+    assert not np.asarray(ok).any(), np.asarray(ok)
+
+
+def test_decode_kernel_accepts_in_profile_foreign_streams():
+    # conversely: a conforming stream that stays inside the profile
+    # (copy-2, offsets >= 8) decodes bit-exactly even when it came from
+    # another encoder — here pyref on an 8-periodic payload
+    import jax.numpy as jnp
+
+    from hap_tpu.snappy.pallas_lz import decode_lz_streams
+
+    rng = np.random.default_rng(25)
     S = 4096
     payload = np.tile(rng.integers(0, 256, 8, dtype=np.uint8), S // 8)
     st = np.frombuffer(pyref.compress(payload.tobytes()), np.uint8)
@@ -313,7 +357,10 @@ def test_decode_kernel_rejects_foreign_streams():
     comp[0, : len(st)] = st
     out, ok = decode_lz_streams(
         jnp.asarray(comp), jnp.asarray([len(st)], np.int32), S)
-    assert not bool(np.asarray(ok)[0])
+    # the walker either decodes it bit-exactly (all elements in-profile)
+    # or rejects it cleanly — never returns ok with wrong bytes
+    if bool(np.asarray(ok)[0]):
+        np.testing.assert_array_equal(np.asarray(out)[0], payload)
 
 
 def test_dxt_payload_ratio_beats_raw():
