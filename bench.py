@@ -134,8 +134,13 @@ def main():
     from hap_tpu.pipeline.device_pipeline import _encode_blocks
     from hap_tpu.kernels.layout import unpack_u32_to_u8
 
-    # three payloads, one per content class; anchor = median over classes
+    # three payloads, one per content class; anchor = median over classes.
+    # The FULL per-rep spread is recorded (VERDICT r4 item 7: the headline
+    # ratio must carry its own anchor spread, not prose ranges).
+    cls_names = ["natural", "graphics", "noise"]
     enc_times, dec_times = [], []
+    all_enc, all_dec = [], []
+    ref_container_bytes = {}
     for i in range(3):
         words = _encode_blocks("hap_q", jnp.asarray(batch_np[i]))
         payload = np.asarray(
@@ -148,12 +153,15 @@ def main():
             ref_frame = native.encode([payload], [0x01], [1], [CHUNKS], n_threads=1)
             ts.append(time.time() - t0)
         enc_times.append(sorted(ts)[reps // 2])
+        all_enc.extend(ts)
+        ref_container_bytes[cls_names[i]] = len(ref_frame)
         ts = []
         for _ in range(reps):
             t0 = time.time()
             ref_out, _ = native.decode(ref_frame, n_threads=1)
             ts.append(time.time() - t0)
         dec_times.append(sorted(ts)[reps // 2])
+        all_dec.extend(ts)
         assert ref_out == payload
     t_enc = float(np.median(enc_times))
     t_dec = float(np.median(dec_times))
@@ -162,12 +170,22 @@ def main():
         f"median of 5x3 classes): enc {t_enc*1000:.1f} ms + dec "
         f"{t_dec*1000:.1f} ms -> {base_mpix:.1f} Mpix/s")
 
+    # --- bytes vs reference (VERDICT r4 job #1 'Done' column): device
+    # container bytes / reference (hap.c + google snappy) container bytes
+    # on the same content, per class. The GOP cycles classes i%3.
+    bytes_vs_ref = {}
+    for i, c in enumerate(cls_names):
+        dev_med = float(np.median(flens[i::3]))
+        bytes_vs_ref[c] = round(dev_med / ref_container_bytes[c], 3)
+    log(f"bytes vs reference containers (device/ref): {bytes_vs_ref}")
+
     # --- multithreaded anchor: the reference's design intent is threaded
     # chunk decode (hap.h:93,113-116); beating only its serial mode is not
     # beating the reference. Same payloads through the C++ runtime's
     # thread pool on every core of this host.
     ncpu = os.cpu_count() or 1
     enc_mt, dec_mt = [], []
+    all_enc_mt, all_dec_mt = [], []
     for i in range(3):
         words = _encode_blocks("hap_q", jnp.asarray(batch_np[i]))
         payload = np.asarray(
@@ -181,12 +199,14 @@ def main():
                                       n_threads=ncpu)
             ts.append(time.time() - t0)
         enc_mt.append(sorted(ts)[reps // 2])
+        all_enc_mt.extend(ts)
         ts = []
         for _ in range(reps):
             t0 = time.time()
             ref_out, _ = native.decode(ref_frame, n_threads=ncpu)
             ts.append(time.time() - t0)
         dec_mt.append(sorted(ts)[reps // 2])
+        all_dec_mt.extend(ts)
         assert ref_out == payload
     t_enc_mt = float(np.median(enc_mt))
     t_dec_mt = float(np.median(dec_mt))
@@ -197,7 +217,8 @@ def main():
 
     detail = {
         "config": {"H": H, "W": W, "chunks": CHUNKS, "batch": BATCH,
-                   "content": "16 distinct frames, classes natural/graphics/noise"},
+                   "content": "16 distinct frames, classes natural/graphics/noise",
+                   "second_stage": "device LZ snappy (HAP_TPU_DEVICE_LZ=1)"},
         "ms_per_frame": {"median": round(dt * 1000, 2),
                          "median_sync_per_gop": round(dt_sync * 1000, 2),
                          "min": round(ptimes[0] * 1000 / BATCH, 2),
@@ -208,11 +229,22 @@ def main():
                     "per_class": per_class},
         "frame_mb": {"min": round(float(flens.min()) / 1e6, 2),
                      "max": round(float(flens.max()) / 1e6, 2)},
+        "bytes_vs_reference": bytes_vs_ref,
         "cpu_anchor_ms": {"encode": round(t_enc * 1000, 1),
-                          "decode": round(t_dec * 1000, 1)},
+                          "decode": round(t_dec * 1000, 1),
+                          # per-rep spread across 5 reps x 3 classes: the
+                          # vs_baseline ratio carries this host-side noise
+                          "encode_spread": [round(min(all_enc) * 1000, 1),
+                                            round(max(all_enc) * 1000, 1)],
+                          "decode_spread": [round(min(all_dec) * 1000, 1),
+                                            round(max(all_dec) * 1000, 1)]},
         "cpu_anchor_mt_ms": {"encode": round(t_enc_mt * 1000, 1),
                              "decode": round(t_dec_mt * 1000, 1),
-                             "threads": ncpu},
+                             "threads": ncpu,
+                             "encode_spread": [round(min(all_enc_mt) * 1000, 1),
+                                               round(max(all_enc_mt) * 1000, 1)],
+                             "decode_spread": [round(min(all_dec_mt) * 1000, 1),
+                                               round(max(all_dec_mt) * 1000, 1)]},
         # Warm-start story (VERDICT r4 item 8): first dispatch cost with
         # the persistent JAX cache in whatever state it was in. A cold
         # cache costs minutes; tools/warm_cache.py pre-populates it for a
@@ -264,12 +296,59 @@ def main():
         except Exception as e:  # oracle toolchain missing etc.
             log(f"foreign serving row skipped: {e}")
 
+    # --- continuity row: the r4 profile (no second-stage LZ; structured
+    # RLE emitter, raw fallback on real content). Requires retracing with
+    # the profile flag flipped; labeled for what it is — a roundtrip that
+    # SKIPS real compression work (the r4 verdict's job #1 finding).
+    no2_mpix = None
+    if os.environ.get("BENCH_NO2", "1") == "1":
+        try:
+            os.environ["HAP_TPU_DEVICE_LZ"] = "0"
+            jax.clear_caches()
+
+            @jax.jit
+            def gop_roundtrip_no2(frames):
+                out, flen, ok = jax.lax.map(
+                    lambda f: roundtrip_pipeline(f, "hap_q", CHUNKS), frames
+                )
+                checksum = (jnp.sum(out.astype(jnp.int32)) + jnp.sum(flen)
+                            + jnp.sum(ok))
+                return out, flen, ok, checksum
+
+            prev = gop_roundtrip_no2(batch)
+            _ = float(prev[3])
+            nts = []
+            for _ in range(4):
+                t0 = time.time()
+                cur = gop_roundtrip_no2(batch)
+                _ = float(prev[3])
+                prev = cur
+                nts.append(time.time() - t0)
+            _ = float(prev[3])
+            ndt = sorted(nts)[len(nts) // 2] / BATCH
+            no2_mpix = H * W / ndt / 1e6
+            nflens = np.asarray(prev[1])
+            log(f"no-second-stage profile (RLE/raw, r4 continuity): "
+                f"{ndt*1000:.2f} ms/frame -> {no2_mpix:.1f} Mpix/s, "
+                f"frames {nflens.min()/1e6:.2f}-{nflens.max()/1e6:.2f} MB")
+            detail["no_second_stage"] = {
+                "ms_per_frame": round(ndt * 1000, 2),
+                "mpix_s": round(no2_mpix, 1),
+                "frame_mb_max": round(float(nflens.max()) / 1e6, 2),
+                "note": "r4-profile roundtrip (stores raw on real content); "
+                        "kept for continuity — the honest headline is the "
+                        "compression-on number above",
+            }
+            os.environ["HAP_TPU_DEVICE_LZ"] = "1"
+        except Exception as e:
+            log(f"no-second-stage row skipped: {e}")
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
     row = {
-        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip, 16 distinct frames, pipelined GOP serving)",
+        "metric": "Mpixels/s/chip encode+decode (4K Hap Q, on-device roundtrip incl. real second-stage compression, 16 distinct frames, pipelined GOP serving)",
         "value": round(mpix, 1),
         "unit": "Mpixels/s",
         # headline ratio vs the THREADED reference workload (its design
@@ -277,9 +356,12 @@ def main():
         "vs_baseline": round(mpix / base_mt_mpix, 3),
         "vs_baseline_1t": round(mpix / base_mpix, 3),
         "vs_baseline_mt": round(mpix / base_mt_mpix, 3),
+        "bytes_vs_reference": bytes_vs_ref,
     }
     if foreign_mpix is not None:
         row["foreign_gop_mpix_s"] = round(foreign_mpix, 1)
+    if no2_mpix is not None:
+        row["no_second_stage_mpix_s"] = round(no2_mpix, 1)
     print(json.dumps(row))
 
 

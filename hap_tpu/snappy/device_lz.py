@@ -177,8 +177,11 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
     cands = candidate_distances(S, row_bytes, G)
     P_VAR = len(_varint(S))
 
-    b4 = data.reshape(C, N, 4).astype(_I32)
-    words = b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16) | (b4[:, :, 3] << 24)
+    # bitcast, not byte-lane shifts: u8->i32 extraction is a 4x strided
+    # relayout that measured 2.96 ms/frame on silicon; bitcast is free
+    # and little-endian on this platform (tools/probe_lz_plan_stages.py)
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(C, N, 4), jnp.uint32).astype(_I32)
     if Np != N:
         words = jnp.pad(words, ((0, 0), (0, Np - N)))
     pos = jnp.broadcast_to(jnp.arange(Np, dtype=_I32)[None, :], (C, Np))
@@ -203,11 +206,18 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
         k *= 2
 
     # ---- 3. run-through coverage + selection -------------------------
+    # sel_lvl tracks the winning level: positions whose best level is
+    # below min_run have NO candidate with a >=min_run-word run through
+    # them, which is exactly the min-run demotion criterion — computing
+    # it here saves the pass-A run scans (2 full-width cummax/cummin).
     bits = levels[0]
+    sel_lvl = jnp.ones((C, Np), _I32)
     l = 2
     for P in levels[1:]:
         R = _or_spread(P, l)
-        bits = jnp.where(R != 0, R, bits)
+        nz = R != 0
+        bits = jnp.where(nz, R, bits)
+        sel_lvl = jnp.where(nz, l, sel_lvl)
         l *= 2
     low = bits & (-bits)  # smallest candidate index at the best level
     dw = jnp.zeros((C, Np), _I32)
@@ -224,7 +234,28 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
         nextsel = nextsel + hit * (_shl(words, c - 1) if c > 1 else words)
     dw = jnp.where(bits != 0, dw, 0)
 
-    # ---- pass A: boundaries/runs for demotion + overflow fold --------
+    # ---- demotion + overflow fold (no scans: level-based) ------------
+    # best level < min_run => no candidate has a >=min_run run through
+    # this word => any selected copy run here is short => demote.
+    # (A selected run can still come out shorter than min_run when the
+    # run-maximizing selection switches candidates mid-run; that only
+    # costs a few extra small pieces, bounded by the segment slot cap.)
+    assert min_run_words in (1, 2, 4, 8, 16)
+    if min_run_words > 1:
+        dw = jnp.where(sel_lvl < min_run_words, 0, dw)
+
+    # overflow fold: a segment with too many copy-run starts cannot be
+    # represented in SEG_SLOTS records -> force it literal. Run starts
+    # need no scan: a start is a position whose d differs from its left
+    # neighbour's.
+    bnd = jnp.concatenate(
+        [jnp.ones((C, 1), jnp.bool_), dw[:, 1:] != dw[:, :-1]], axis=1)
+    seg_csA = jnp.sum(
+        (bnd & (dw > 0)).reshape(C, NSEG, SEG_WORDS).astype(_I32), axis=2)
+    fold = seg_csA > _FOLD_LIMIT  # (C, NSEG)
+    dw = jnp.where(jnp.repeat(fold, SEG_WORDS, axis=1), 0, dw)
+
+    # ---- final run structure (the only full-width scans) -------------
     def _runs(dwp):
         b = jnp.concatenate(
             [jnp.ones((C, 1), jnp.bool_), dwp[:, 1:] != dwp[:, :-1]], axis=1
@@ -237,22 +268,6 @@ def plan_lz(data: jnp.ndarray, S: int, G: int, row_bytes: int,
         run_end = jnp.minimum(run_end, N)
         return run_start, run_end
 
-    rsA, reA = _runs(dw)
-    runlenA = reA - rsA
-    dw = jnp.where((dw > 0) & (runlenA < min_run_words), 0, dw)
-
-    # overflow fold: a segment with too many surviving copy-run starts
-    # cannot be represented in SEG_SLOTS records -> force it literal.
-    # Demotion only removes copy runs, so surviving starts are exactly
-    # the pass-A starts that kept dw > 0.
-    copy_startA = (pos == rsA) & (dw > 0)
-    seg_csA = jnp.sum(copy_startA.reshape(C, NSEG, SEG_WORDS), axis=2)
-    fold = seg_csA > _FOLD_LIMIT  # (C, NSEG)
-    dw = jnp.where(
-        jnp.repeat(fold, SEG_WORDS, axis=1), 0, dw
-    )
-
-    # ---- pass B: final run structure --------------------------------
     rs, re = _runs(dw)
     is_copy = dw > 0
     is_start = pos == rs

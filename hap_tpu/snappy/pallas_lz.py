@@ -86,12 +86,30 @@ def emit_lz_streams(
     tcp_blocks = jnp.pad(
         tables_copy.reshape(C, tvals), ((0, 0), (0, trows * 128 - tvals))
     ).reshape(C, trows, 128)
+    # Per-chunk meta for the (s, k) piece walks: [cnt_lit(NSEG),
+    # cnt_copy(NSEG), nxt_lit(NSEG+1), nxt_copy(NSEG+1)] where nxt[s] is
+    # the first segment >= s with pieces of that kind (NSEG when none) —
+    # O(1) empty-segment skipping in the kernel (a per-segment loop pair
+    # costs ~600 ns of loop boundary per segment per tile, ~2.5 ms/frame).
+    cl_ = counts[:, :, 0]
+    cc_ = counts[:, :, 1]
+    sidx = jnp.arange(NSEG, dtype=_I32)[None, :]
+
+    def _nxt(cnt):
+        x = jnp.where(cnt > 0, sidx, NSEG)
+        r = jnp.flip(jax.lax.cummin(jnp.flip(x, axis=1), axis=1), axis=1)
+        return jnp.concatenate(
+            [r, jnp.full((C, 1), NSEG, _I32)], axis=1)  # (C, NSEG+1)
+
+    MW = 4 * NSEG + 2
+    meta_c = jnp.concatenate([cl_, cc_, _nxt(cl_), _nxt(cc_)], axis=1)
     # SMEM blocks need their leading dim divisible by 8 (or equal to the
     # array's): group per grid step and pad tc -> 8 rows per group.
     G_steps = C // tc
-    meta = jnp.zeros((G_steps, 8, NSEG * 2), _I32).at[:, :tc, :].set(
-        counts.reshape(G_steps, tc, NSEG * 2)).reshape(G_steps * 8, NSEG * 2)
+    meta = jnp.zeros((G_steps, 8, MW), _I32).at[:, :tc, :].set(
+        meta_c.reshape(G_steps, tc, MW)).reshape(G_steps * 8, MW)
     nblk = (-(-bound // 128) + _ELR + 4 + 7) // 8 * 8
+    O_CL, O_CC, O_NL, O_NC = 0, NSEG, 2 * NSEG, 3 * NSEG + 1
 
     def kernel(meta_ref, data_ref, tlit_ref, tcp_ref, out_ref):
         lane = _lane128()
@@ -131,22 +149,37 @@ def emit_lz_streams(
             + jax.lax.broadcasted_iota(_I32, (_CR, 128), 1)
         )
         cmod3 = cwidx - (cwidx // 3) * 3
+        mod3_1 = lane - (lane // 3) * 3
+
+        def advance(j, s, k, off_cnt, off_nxt):
+            """(s, k) -> next piece coordinates (O(1) via the nxt table)."""
+            k = k + 1
+            done = k >= meta_ref[j, off_cnt + jnp.clip(s, 0, NSEG - 1)]
+            s2 = meta_ref[j, off_nxt + jnp.minimum(s + 1, NSEG)]
+            s = jnp.where(done, s2, s)
+            k = jnp.where(done, 0, k)
+            return s, k
 
         def copy_piece(j, s, k):
-            w0, w1 = read_record(tcp_ref, j, s, k)
+            # no predicated regions (pallas_exec measured rule): one
+            # unconditional 3-row build + 4-row RMW per piece
+            live = s < NSEG
+            w0, w1 = read_record(tcp_ref, j, jnp.clip(s, 0, NSEG - 1), k)
             nel = (w0 >> 20) & 0x7FF
             q = w0 & 0xFFFFF
             d = w1 & 0x1FFFF
             tail = (w1 >> 17) & 0x7F
             tail_tag = 2 | ((tail - 1) << 2)
+            sz = jnp.where(live, 3 * nel, 0)
             v = jnp.where(
                 cmod3 == 0, 254,
                 jnp.where(cmod3 == 1, d & 255, d >> 8))
             v = jnp.where(cwidx == 3 * (nel - 1), tail_tag, v)
-            place(j, v, q, 3 * nel, _CR)
+            place(j, v, q, sz, _CR)
 
         def lit_piece(j, s, k):
-            w0, w1 = read_record(tlit_ref, j, s, k)
+            live = s < NSEG
+            w0, w1 = read_record(tlit_ref, j, jnp.clip(s, 0, NSEG - 1), k)
             blen = (w0 >> 20) & 0x7FF
             q = w0 & 0xFFFFF
             ip = w1 & 0xFFFFF
@@ -171,39 +204,39 @@ def emit_lz_streams(
             tagrow = jnp.where(lane == 0, t0, jnp.where(lane == 1, t1, t2))
             em0 = jnp.where(lane < tl, tagrow, em[0:1])
             em = jnp.concatenate([em0, em[1:]], axis=0)
-            place(j, em, q, tl + blen, _ELR + 1)
-
-        def seg_body(s, _):
-            ccs = [meta_ref[j, 2 * s + 1] for j in range(tc)]
-            cls = [meta_ref[j, 2 * s] for j in range(tc)]
-            mxc = ccs[0]
-            mxl = cls[0]
-            for j in range(1, tc):
-                mxc = jnp.maximum(mxc, ccs[j])
-                mxl = jnp.maximum(mxl, cls[j])
-
-            def cbody(k, _):
-                for j in range(tc):
-                    copy_piece(j, s, k)
-                return 0
-
-            def lbody(k, _):
-                for j in range(tc):
-                    lit_piece(j, s, k)
-                return 0
-
-            jax.lax.fori_loop(0, mxc, cbody, 0)
-            jax.lax.fori_loop(0, mxl, lbody, 0)
-            return 0
+            place(j, em, q, jnp.where(live, tl + blen, 0), _ELR + 1)
 
         out_ref[:] = jnp.zeros_like(out_ref)
-        jax.lax.fori_loop(0, NSEG, seg_body, 0)
+
+        def walk(off_cnt, off_nxt, piece_fn, P):
+            def cond(st):
+                r = st[0] < NSEG
+                for j in range(1, tc):
+                    r = r | (st[2 * j] < NSEG)
+                return r
+
+            def body(st):
+                st = list(st)
+                for _p in range(P):
+                    for j in range(tc):
+                        piece_fn(j, st[2 * j], st[2 * j + 1])
+                        st[2 * j], st[2 * j + 1] = advance(
+                            j, st[2 * j], st[2 * j + 1], off_cnt, off_nxt)
+                return tuple(st)
+
+            init = []
+            for j in range(tc):
+                init.extend([meta_ref[j, off_nxt + 0], jnp.int32(0)])
+            jax.lax.while_loop(cond, body, tuple(init))
+
+        walk(O_CC, O_NC, copy_piece, 4)
+        walk(O_CL, O_NL, lit_piece, 2)
 
     out = pl.pallas_call(
         kernel,
         grid=(C // tc,),
         in_specs=[
-            pl.BlockSpec((8, NSEG * 2), lambda i: (i, 0),
+            pl.BlockSpec((8, MW), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, drows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -302,11 +335,8 @@ def decode_lz_streams_from_frame(
 
         lane = _lane128()
         zrow = jnp.zeros((1, 128), _I32)
-        widxW = (
-            jax.lax.broadcasted_iota(_I32, (_WR, 128), 0) * 128
-            + jax.lax.broadcasted_iota(_I32, (_WR, 128), 1)
-        )
-        mod3 = widxW - (widxW // 3) * 3
+        widx1 = lane
+        mod3 = lane - (lane // 3) * 3
 
         def window(ref2d, cur, rows):
             blk = jnp.clip(cur >> 7, 0, tcb - rows - 2)
@@ -349,75 +379,102 @@ def decode_lz_streams_from_frame(
                 meta_ref[j, 2] != 0, meta_ref[j, 1], S))
 
         def chain_step(j, cursor, outp, lit_rem, bad):
-            """One unit of work for chunk chain j. Returns new state."""
+            """One unit of work for chunk chain j. Returns new state.
+
+            A unit is (a) a <=1024-byte literal/raw window copy — merged
+            with the literal-head tag parse so a typical <=1021-byte
+            literal costs ONE step, (b) a batch of <=_KMAX identical
+            copy-2 elements with a three-way specialized fill, or (c) a
+            rejection. The expensive generic doubling fill only runs for
+            overlapped copies whose period does not divide 128."""
             live = outp < S
-            is_cont = lit_rem > 0
-
-            # --- literal/raw continuation: bulk window copy ----------
-            n_cont = jnp.minimum(lit_rem, 1024)
-            w9 = window(scratch, cursor, _WR)
-            ln_c = jnp.where(live & is_cont, n_cont, 0)
-            place_out(j, w9[:8], outp, ln_c, 8)
-
-            # --- element head ---------------------------------------
+            is_cont = live & (lit_rem > 0)
             head = live & (~is_cont)
-            tag = w9[0, 0]
+
+            # --- element head parse (2-row window: tags are <= 3 B) --
+            wh = window(scratch, cursor, 1)
+            tag = wh[0, 0]
             kind = tag & 3
             t6 = (tag >> 2) & 63
             is_lit = head & (kind == 0)
             tl = jnp.where(t6 < 60, 1, jnp.where(t6 == 60, 2, 3))
             llen = jnp.where(
                 t6 < 60, t6 + 1,
-                jnp.where(t6 == 60, w9[0, 1] + 1,
-                          (w9[0, 1] | (w9[0, 2] << 8)) + 1))
+                jnp.where(t6 == 60, wh[0, 1] + 1,
+                          (wh[0, 1] | (wh[0, 2] << 8)) + 1))
             is_cp = head & (kind == 2)
-            d = w9[0, 1] | (w9[0, 2] << 8)
+            d = wh[0, 1] | (wh[0, 2] << 8)
             clen = t6 + 1
 
             badd = jnp.where(is_lit & (t6 > 61), 1, 0)
             badd += jnp.where(head & ((kind == 1) | (kind == 3)), 1, 0)
             badd += jnp.where(is_cp & ((d < 8) | (d > outp)), 1, 0)
+            ok_lit = is_lit & (badd == 0)
 
-            # identical-element run extent within the visible window
+            # --- literal bytes: continuation or first window of a head
+            n_lit = jnp.where(is_cont, jnp.minimum(lit_rem, 1024),
+                              jnp.where(ok_lit, jnp.minimum(llen, 1024), 0))
+            src_off = cursor + jnp.where(is_cont, 0, tl)
+            wsrc = window(scratch, src_off, 8)
+
+            # --- copy run extent: one pattern row suffices (_KMAX*3+3
+            # bytes < 128); batching capped at the chunk's stream end so
+            # a run can't eat the neighbour's bytes in shared scratch
             pat = jnp.where(mod3 == 0, tag,
-                            jnp.where(mod3 == 1, w9[0, 1], w9[0, 2]))
-            mism = jnp.where(w9 != pat, widxW, _WR * 128)
+                            jnp.where(mod3 == 1, wh[0, 1], wh[0, 2]))
+            mism = jnp.where(wh[0:1] != pat, widx1, 128)
             first = jnp.min(mism)
             k = jnp.clip(first // 3, 1, _KMAX)
             k = jnp.minimum(k, jnp.maximum((ends[j] - cursor) // 3, 1))
             k = jnp.where(clen == 64, k, 1)
             L_out = k * clen
-
-            # --- copy fill: doubling from the fixed [outp-d, .) window
             ok_cp = is_cp & (badd == 0)
 
-            def fill_round(r, Wn):
-                @pl.when(ok_cp & (Wn < L_out))
-                def _():
-                    src = out_window(j, outp - d, 8)
-                    n_r = jnp.minimum(L_out - Wn, Wn + d)
-                    n_r = jnp.minimum(n_r, 1024)
-                    place_out(j, src, outp + Wn, n_r, 8)
-                # written grows min(L, 2W+d, W+1024): d, 3d, 7d ... so 8
-                # rounds cover L_out <= 1024 for any d >= 8
-                return jnp.where(
-                    ok_cp,
-                    jnp.minimum(L_out,
-                                jnp.minimum(2 * Wn + d, Wn + 1024)),
-                    Wn)
+            # --- unified emission: ONE place per step ----------------
+            # (no predicated regions — pallas_exec's measured rule; the
+            # rare overlapped non-128-divisible-period copy keeps a
+            # guarded doubling loop.)
+            bulkish = ok_cp & ((d >= L_out)
+                               | ((d <= 128) & (128 % d == 0)))
+            generic = ok_cp & (~bulkish)
 
-            jax.lax.fori_loop(0, 8, fill_round, jnp.int32(0))
+            fsrc = out_window(j, outp - d, 8)
+            # d | 128 and overlapped: every output row is the same
+            # periodic pattern; double the trailing d bytes up to 128
+            row = fsrc[0:1]
+            dd = jnp.minimum(d, 128)  # roll amounts stay in [0, 128]
+            for _r in range(4):  # 8 -> 128 in <= 4 doublings
+                row = jnp.where(lane < dd, row, pltpu.roll(row, dd, 1))
+                dd = jnp.minimum(dd * 2, 128)
+            per_rows = jnp.broadcast_to(row, (8, 128))
+            use_per = (d < L_out) & (d <= 128)
+            e_fill = jnp.where(use_per, per_rows, fsrc)
+            e = jnp.where(ok_cp, e_fill, wsrc)
+            ln = n_lit + jnp.where(bulkish, L_out, 0)
+            place_out(j, e, outp, ln, 8)
+
+            @pl.when(generic)
+            def _():
+                def fill_round(r, Wn):
+                    @pl.when(Wn < L_out)
+                    def _():
+                        src = out_window(j, outp - d, 8)
+                        n_r = jnp.minimum(
+                            jnp.minimum(L_out - Wn, Wn + d), 1024)
+                        place_out(j, src, outp + Wn, n_r, 8)
+                    return jnp.minimum(
+                        L_out, jnp.minimum(2 * Wn + d, Wn + 1024))
+
+                jax.lax.fori_loop(0, 8, fill_round, jnp.int32(0))
 
             # --- advance --------------------------------------------
             cursor = cursor + jnp.where(
-                is_cont & live, n_cont,
-                jnp.where(is_lit, tl, jnp.where(is_cp, 3 * k, 0)))
-            outp = outp + jnp.where(
-                is_cont & live, n_cont, jnp.where(ok_cp, L_out, 0))
+                is_cont, n_lit,
+                jnp.where(ok_lit, tl + n_lit, jnp.where(ok_cp, 3 * k, 0)))
+            outp = outp + n_lit + jnp.where(ok_cp, L_out, 0)
             lit_rem = jnp.where(
-                is_cont & live, lit_rem - n_cont,
-                jnp.where(is_lit, llen, 0))
-            # stuck or invalid: kill the chain, flag bad
+                is_cont, lit_rem - n_lit,
+                jnp.where(ok_lit, llen - n_lit, 0))
             dead = head & (badd > 0)
             outp = jnp.where(dead, S, outp)
             lit_rem = jnp.where(dead, 0, lit_rem)
@@ -452,10 +509,15 @@ def decode_lz_streams_from_frame(
             return live & (c[4 * _DTC] < MAXSTEP)
 
         def body(c):
+            # two units per chain per iteration: the while-loop boundary
+            # costs ~600 ns (pallas_exec measured fact); unrolling halves
+            # the boundary tax on piece-dense streams
             out = []
             for j in range(_DTC):
-                out.extend(chain_step(
-                    j, c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3]))
+                st = chain_step(
+                    j, c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3])
+                st = chain_step(j, *st)
+                out.extend(st)
             return tuple(out) + (c[4 * _DTC] + 1,)
 
         final = jax.lax.while_loop(
