@@ -426,18 +426,19 @@ def decode_lz_streams_from_frame(
             first = jnp.min(mism)
             k = jnp.clip(first // 3, 1, _KMAX)
             k = jnp.minimum(k, jnp.maximum((ends[j] - cursor) // 3, 1))
+            # overlapped copies whose period does NOT divide 128 would
+            # need a doubling-fill loop; cap the batch at d bytes instead
+            # so the fill is always a plain bulk copy — the run just takes
+            # more (predication-free) steps. d | 128 keeps full batching
+            # via the periodic-row build below.
+            d_div = (d <= 128) & ((128 % jnp.maximum(d, 1)) == 0)
+            k_bulk = jnp.maximum(d >> 6, 1)  # floor(d/64) elements
+            k = jnp.where(d_div, k, jnp.minimum(k, k_bulk))
             k = jnp.where(clen == 64, k, 1)
             L_out = k * clen
             ok_cp = is_cp & (badd == 0)
 
-            # --- unified emission: ONE place per step ----------------
-            # (no predicated regions — pallas_exec's measured rule; the
-            # rare overlapped non-128-divisible-period copy keeps a
-            # guarded doubling loop.)
-            bulkish = ok_cp & ((d >= L_out)
-                               | ((d <= 128) & (128 % d == 0)))
-            generic = ok_cp & (~bulkish)
-
+            # --- unified emission: ONE place per step, NO predication --
             fsrc = out_window(j, outp - d, 8)
             # d | 128 and overlapped: every output row is the same
             # periodic pattern; double the trailing d bytes up to 128
@@ -450,22 +451,8 @@ def decode_lz_streams_from_frame(
             use_per = (d < L_out) & (d <= 128)
             e_fill = jnp.where(use_per, per_rows, fsrc)
             e = jnp.where(ok_cp, e_fill, wsrc)
-            ln = n_lit + jnp.where(bulkish, L_out, 0)
+            ln = n_lit + jnp.where(ok_cp, L_out, 0)
             place_out(j, e, outp, ln, 8)
-
-            @pl.when(generic)
-            def _():
-                def fill_round(r, Wn):
-                    @pl.when(Wn < L_out)
-                    def _():
-                        src = out_window(j, outp - d, 8)
-                        n_r = jnp.minimum(
-                            jnp.minimum(L_out - Wn, Wn + d), 1024)
-                        place_out(j, src, outp + Wn, n_r, 8)
-                    return jnp.minimum(
-                        L_out, jnp.minimum(2 * Wn + d, Wn + 1024))
-
-                jax.lax.fori_loop(0, 8, fill_round, jnp.int32(0))
 
             # --- advance --------------------------------------------
             cursor = cursor + jnp.where(

