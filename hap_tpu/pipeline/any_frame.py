@@ -632,12 +632,15 @@ def _gop_decode_fused(frames, per_tex, statics, fmts, H, W, multi):
             fstack, ops, n_ops, lit, out_len, comp_off, out_off,
             is_comp, raw_packed, raw_map, S_max, total, C)
         sub, wpb = _FMT_SUBCODEC[fmt.name]
+        payload_is_words = payload.dtype == jnp.uint32
 
-        def one(pay, sub=sub, wpb=wpb):
+        def one(pay, sub=sub, wpb=wpb, is_words=payload_is_words):
             # lane-safe (m, 128, 4) bitcast — the (k, 4) form tiles each
-            # 4-byte row onto an (8, 128) vreg (32x padding; layout.py)
-            words = payload_to_words(pay).reshape(-1, wpb)
-            return _decode_blocks(sub, words, H, W)
+            # 4-byte row onto an (8, 128) vreg (32x padding; layout.py).
+            # The uniform-layout path already delivers words from the
+            # executor's byte lanes (no repack at all).
+            words = pay if is_words else payload_to_words(pay)
+            return _decode_blocks(sub, words.reshape(-1, wpb), H, W)
 
         images.append(jax.lax.map(one, payload))
 
@@ -666,6 +669,22 @@ def _gop_payload(frames, ops, n_ops, lit, out_len, comp_off, out_off,
     from hap_tpu.snappy.pallas_exec import execute_op_tables
 
     N = n_ops.shape[0] // C
+    if frames is None and S_max % 4 == 0 and total % 4 == 0:
+        # uniform layouts: produce WORDS straight from the executor's
+        # int32 byte lanes (skips the i32->u8 relayout + u8->u32 repack;
+        # measured ~2.7 ms per 4K frame, profile_foreign_gop_stages.py).
+        # Raw rows stage as u8 and pack via the lane-safe bitcast (~free).
+        decw = execute_op_tables(ops, n_ops, lit, out_len, S_max,
+                                 out_words=True)
+        decw = decw.reshape(N, C, S_max // 4)
+        if raw_packed is not None:
+            from hap_tpu.kernels.layout import payload_to_words
+
+            raww = jax.vmap(jax.vmap(payload_to_words))(raw_packed)
+            rows = jax.vmap(lambda rp, m: rp[m])(raww, raw_map)
+            decw = jnp.where(is_comp[:, :, None], decw, rows)
+        return decw.reshape(N, C * (S_max // 4))[:, : total // 4]
+
     dec = execute_op_tables(ops, n_ops, lit, out_len, S_max)  # (N*C, S_max)
     dec = dec.reshape(N, C, S_max)
     if frames is None:

@@ -73,17 +73,19 @@ def _pick_tc(rows_per_chain: int) -> int:
     return 1
 
 
-def execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages=None):
+def execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages=None,
+                      out_words: bool = False):
     """Resolve n_stages (env HAP_TPU_EXEC_STAGES for A/B runs; measured
     default 4) OUTSIDE jit so it keys the cache, then dispatch."""
     if n_stages is None:
         import os
 
         n_stages = int(os.environ.get("HAP_TPU_EXEC_STAGES", "4"))
-    return _execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages)
+    return _execute_op_tables(ops, n_ops, lit, out_len, S_max, n_stages,
+                              out_words)
 
 
-@functools.partial(jax.jit, static_argnames=("S_max", "n_stages"))
+@functools.partial(jax.jit, static_argnames=("S_max", "n_stages", "out_words"))
 def _execute_op_tables(
     ops: jnp.ndarray,  # (C, NOPS, 2) int32 pack_fields words (optable.py)
     n_ops: jnp.ndarray,  # (C,) int32
@@ -91,8 +93,14 @@ def _execute_op_tables(
     out_len: jnp.ndarray,  # (C,) int32 decoded sizes (<= S_max)
     S_max: int,
     n_stages: int = 4,
+    out_words: bool = False,
 ) -> jnp.ndarray:
-    """Execute C piece tables -> (C, S_max) uint8 decoded rows.
+    """Execute C piece tables -> (C, S_max) uint8 decoded rows — or, with
+    ``out_words`` (requires S_max % 4 == 0), (C, S_max//4) uint32 LE words
+    packed straight from the kernel's int32 byte lanes with shifts
+    (~free), skipping the int32->uint8 lane relayout AND the downstream
+    uint8->uint32 repack the BCn decoders would pay (~2.7 ms per 4K frame
+    measured on the foreign-GOP path, tools/profile_foreign_gop_stages.py).
 
     Rows whose host verdict was "malformed" must be passed with
     n_ops == 0; their output rows are undefined (the caller carries the
@@ -241,6 +249,12 @@ def _execute_op_tables(
         interpret=_interpret(),
     )(meta, ops_blocks, lit_blocks)
     out = jnp.take(out, inv, axis=0)
+    if out_words:
+        assert S_max % 4 == 0
+        y = out[:, :nout, :].reshape(C, nout * 32, 4).astype(jnp.uint32)
+        words = (y[..., 0] | (y[..., 1] << 8) | (y[..., 2] << 16)
+                 | (y[..., 3] << 24))
+        return words[:C0, : S_max // 4]
     return (
         out[:, :nout, :].reshape(C, nout * 128)[:C0, :S_max].astype(jnp.uint8)
     )
