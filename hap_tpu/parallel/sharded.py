@@ -192,7 +192,7 @@ def _device_index(mesh: Mesh, axes) -> jnp.ndarray:
 
 
 def _spatial_texture_encode(mesh, axes, blocks_stripe, enc, cc, cpd, S, g,
-                            fmt_id):
+                            fmt_id, row_bytes=0):
     """Encode my stripe of one texture and assemble the replicated section.
 
     blocks_stripe covers cpd chunks' blocks (tail slots past cc, present
@@ -201,13 +201,22 @@ def _spatial_texture_encode(mesh, axes, blocks_stripe, enc, cc, cpd, S, g,
     every device (the per-chunk stream gathers ride ICI).
     """
     from hap_tpu.kernels.layout import words_to_payload
-    from hap_tpu.pipeline.device_frame import _assemble_frame
-    from hap_tpu.snappy.device import snappy_encode_chunks
+    from hap_tpu.pipeline.device_frame import (
+        _assemble_frame,
+        _encode_chunks,
+        frame_layout,
+    )
 
     D = mesh.size
     words = enc(blocks_stripe)
     payload = words_to_payload(words)
-    comp, comp_len = snappy_encode_chunks(payload.reshape(cpd, S), S, g)
+    # profile-aware (LZ / RLE) emission, padded to the layout bound —
+    # _assemble_frame's stitch expects stream rows at exactly that width.
+    # row_bytes must match the single-device pipeline's (g*W/4) so the LZ
+    # candidate set — and therefore the container bytes — stay identical.
+    bound = frame_layout(S * cc, cc, g)[3]
+    comp, comp_len = _encode_chunks(
+        payload.reshape(cpd, S), S, g, row_bytes, bound)
     payload_all = jax.lax.all_gather(payload, axes, axis=0, tiled=True)
     comp_all = jax.lax.all_gather(comp, axes, axis=0, tiled=True)
     len_all = jax.lax.all_gather(comp_len, axes, axis=0, tiled=True)
@@ -330,7 +339,7 @@ def sharded_spatial_roundtrip(
     def local(blocks_stripe):
         frame, flen, _ = _spatial_texture_encode(
             mesh, axes, blocks_stripe, enc, L["cc"], L["cpd"], L["S"],
-            L["g"], L["fmt_id"])
+            L["g"], L["fmt_id"], row_bytes=L["g"] * width // 4)
         out_blocks, ok = _spatial_texture_decode(
             mesh, axes, frame, dec, L["cc"], L["cpd"], L["S"], L["g"], wpb,
             L["nbytes"], L["fmt_id"], L["top_hdr"], L["dil"], L["bound"],
@@ -390,10 +399,10 @@ def _sharded_spatial_multi(mesh: Mesh, height: int, width: int,
     def local(blocks_stripe):
         f1, l1, _ = _spatial_texture_encode(
             mesh, axes, blocks_stripe[..., :3], enc1, L1["cc"], L1["cpd"],
-            L1["S"], L1["g"], L1["fmt_id"])
+            L1["S"], L1["g"], L1["fmt_id"], row_bytes=L1["g"] * width // 4)
         f2, l2, _ = _spatial_texture_encode(
             mesh, axes, blocks_stripe[..., 3:4], enc2, L2["cc"], L2["cpd"],
-            L2["S"], L2["g"], L2["fmt_id"])
+            L2["S"], L2["g"], L2["fmt_id"], row_bytes=L2["g"] * width // 4)
         frame, flen = _wrap_multi_image(
             height, width, fmts, chunk_count, f1, l1, f2, l2)
 

@@ -73,8 +73,14 @@ def _decode_chunk_streams(frame, pos, csizes, cis, S: int, G: int,
 
     out_lz, ok_lz = decode_lz_streams_from_frame(
         frame, pos, csizes, cis, S, out_words=out_words, skip_raw=True)
+    # the raw pass keeps the TRUE table sizes: its cursor advances S per
+    # chunk and the final cursor==size check then rejects any chunk whose
+    # size-table entry is not exactly S — e.g. a compressor byte flipped
+    # from snappy to raw by corruption (a legitimate raw chunk always
+    # stores exactly S bytes, hap.c:460-466). Feeding it S erased that
+    # validation (caught by test_device_decode_fuzz).
     out_raw, ok_raw = decode_streams_from_frame(
-        frame, pos, jnp.full_like(csizes, S),
+        frame, pos, csizes,
         jnp.zeros_like(cis, jnp.bool_), S, G, out_words=out_words)
     out = jnp.where(cis[:, None], out_lz, out_raw)
     return out, jnp.where(cis, ok_lz, ok_raw)
