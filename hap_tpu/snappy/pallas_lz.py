@@ -121,8 +121,7 @@ def emit_lz_streams(
             W = jnp.concatenate(
                 [tab_ref[j, row, :].reshape(1, 128),
                  tab_ref[j, row + 1, :].reshape(1, 128)], axis=1)
-            Wr = pltpu.roll(W, (256 - (flat - (row << 7))) % 256, 1)
-            return Wr[0, 0], Wr[0, 1]
+            return pltpu.roll(W, (256 - (flat - (row << 7))) % 256, 1)
 
         def place(j, e, q, ln, erows):
             """Merge emission e ((erows,128) at phase 0) into the output
@@ -160,55 +159,91 @@ def emit_lz_streams(
             k = jnp.where(done, 0, k)
             return s, k
 
-        def copy_piece(j, s, k):
-            # no predicated regions (pallas_exec measured rule): one
-            # unconditional 3-row build + 4-row RMW per piece
-            live = s < NSEG
-            w0, w1 = read_record(tcp_ref, j, jnp.clip(s, 0, NSEG - 1), k)
-            nel = (w0 >> 20) & 0x7FF
-            q = w0 & 0xFFFFF
-            d = w1 & 0x1FFFF
-            tail = (w1 >> 17) & 0x7F
-            tail_tag = 2 | ((tail - 1) << 2)
-            sz = jnp.where(live, 3 * nel, 0)
-            v = jnp.where(
-                cmod3 == 0, 254,
-                jnp.where(cmod3 == 1, d & 255, d >> 8))
-            v = jnp.where(cwidx == 3 * (nel - 1), tail_tag, v)
-            place(j, v, q, sz, _CR)
+        def copy_sweep(st):
+            """One copy piece for EVERY chain, stage-major (records ->
+            extracts -> builds -> places -> advances): no predicated
+            regions (pallas_exec measured rule) and consecutive
+            instructions belong to independent chains so the scheduler
+            hides each chain's roll/extract latency behind its
+            neighbours' (the rule that took the walker 0.86 -> ~0.3
+            us/step on silicon)."""
+            Ws = [read_record(tcp_ref, j, jnp.clip(st[2 * j], 0, NSEG - 1),
+                              st[2 * j + 1]) for j in range(tc)]
+            heads = [(W[0, 0], W[0, 1]) for W in Ws]
+            vs, qs, szs = [], [], []
+            for j in range(tc):
+                w0, w1 = heads[j]
+                live = st[2 * j] < NSEG
+                nel = (w0 >> 20) & 0x7FF
+                d = w1 & 0x1FFFF
+                tail = (w1 >> 17) & 0x7F
+                tail_tag = 2 | ((tail - 1) << 2)
+                v = jnp.where(
+                    cmod3 == 0, 254,
+                    jnp.where(cmod3 == 1, d & 255, d >> 8))
+                vs.append(jnp.where(cwidx == 3 * (nel - 1), tail_tag, v))
+                qs.append(w0 & 0xFFFFF)
+                szs.append(jnp.where(live, 3 * nel, 0))
+            for j in range(tc):
+                place(j, vs[j], qs[j], szs[j], _CR)
+            out = list(st)
+            for j in range(tc):
+                out[2 * j], out[2 * j + 1] = advance(
+                    j, st[2 * j], st[2 * j + 1], O_CC, O_NC)
+            return out
 
-        def lit_piece(j, s, k):
-            live = s < NSEG
-            w0, w1 = read_record(tlit_ref, j, jnp.clip(s, 0, NSEG - 1), k)
-            blen = (w0 >> 20) & 0x7FF
-            q = w0 & 0xFFFFF
-            ip = w1 & 0xFFFFF
-            tl = (w1 >> 20) & 3
-            # payload window at phase 0
-            blk = jnp.clip(ip >> 7, 0, drows - _ELR - 2)
-            r = ip - (blk << 7)
-            a = data_ref[j, pl.ds(blk, _ELR + 1), :]
-            ar = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
-            dwin = jnp.where(lane < 128 - r, ar[:-1], ar[1:])  # (_ELR,128)
-            # shift right by the (dynamic) tag length
-            rolled = pltpu.roll(dwin, tl, 1)
-            em = jnp.where(
-                lane >= tl,
-                jnp.concatenate([rolled, zrow], axis=0),
-                jnp.concatenate([zrow, rolled], axis=0),
-            )  # (_ELR+1, 128); bytes at [tl, tl+blen)
-            n = blen - 1
-            t0 = jnp.where(tl == 1, n << 2, jnp.where(tl == 2, 240, 244))
-            t1 = jnp.where(tl == 2, n, n & 255)
-            t2 = n >> 8
-            tagrow = jnp.where(lane == 0, t0, jnp.where(lane == 1, t1, t2))
-            em0 = jnp.where(lane < tl, tagrow, em[0:1])
-            em = jnp.concatenate([em0, em[1:]], axis=0)
-            place(j, em, q, jnp.where(live, tl + blen, 0), _ELR + 1)
+        def lit_sweep(st):
+            """One literal piece for EVERY chain, stage-major."""
+            Ws = [read_record(tlit_ref, j, jnp.clip(st[2 * j], 0, NSEG - 1),
+                              st[2 * j + 1]) for j in range(tc)]
+            heads = [(W[0, 0], W[0, 1]) for W in Ws]
+            scal = []
+            for j in range(tc):
+                w0, w1 = heads[j]
+                live = st[2 * j] < NSEG
+                blen = (w0 >> 20) & 0x7FF
+                scal.append(dict(
+                    blen=blen, q=w0 & 0xFFFFF, ip=w1 & 0xFFFFF,
+                    tl=(w1 >> 20) & 3,
+                    sz=jnp.where(live, ((w1 >> 20) & 3) + blen, 0)))
+            # payload windows at phase 0 (independent reads)
+            dwins = []
+            for j in range(tc):
+                ip = scal[j]["ip"]
+                blk = jnp.clip(ip >> 7, 0, drows - _ELR - 2)
+                r = ip - (blk << 7)
+                a = data_ref[j, pl.ds(blk, _ELR + 1), :]
+                ar = pltpu.roll(a, jnp.where(r == 0, 0, 128 - r), 1)
+                dwins.append(jnp.where(lane < 128 - r, ar[:-1], ar[1:]))
+            ems = []
+            for j in range(tc):
+                tl = scal[j]["tl"]
+                # shift right by the (dynamic) tag length
+                rolled = pltpu.roll(dwins[j], tl, 1)
+                em = jnp.where(
+                    lane >= tl,
+                    jnp.concatenate([rolled, zrow], axis=0),
+                    jnp.concatenate([zrow, rolled], axis=0),
+                )  # (_ELR+1, 128); bytes at [tl, tl+blen)
+                n = scal[j]["blen"] - 1
+                t0 = jnp.where(tl == 1, n << 2, jnp.where(tl == 2, 240, 244))
+                t1 = jnp.where(tl == 2, n, n & 255)
+                t2 = n >> 8
+                tagrow = jnp.where(
+                    lane == 0, t0, jnp.where(lane == 1, t1, t2))
+                em0 = jnp.where(lane < tl, tagrow, em[0:1])
+                ems.append(jnp.concatenate([em0, em[1:]], axis=0))
+            for j in range(tc):
+                place(j, ems[j], scal[j]["q"], scal[j]["sz"], _ELR + 1)
+            out = list(st)
+            for j in range(tc):
+                out[2 * j], out[2 * j + 1] = advance(
+                    j, st[2 * j], st[2 * j + 1], O_CL, O_NL)
+            return out
 
         out_ref[:] = jnp.zeros_like(out_ref)
 
-        def walk(off_cnt, off_nxt, piece_fn, P):
+        def walk(off_nxt, sweep, P):
             def cond(st):
                 r = st[0] < NSEG
                 for j in range(1, tc):
@@ -218,10 +253,7 @@ def emit_lz_streams(
             def body(st):
                 st = list(st)
                 for _p in range(P):
-                    for j in range(tc):
-                        piece_fn(j, st[2 * j], st[2 * j + 1])
-                        st[2 * j], st[2 * j + 1] = advance(
-                            j, st[2 * j], st[2 * j + 1], off_cnt, off_nxt)
+                    st = sweep(st)
                 return tuple(st)
 
             init = []
@@ -229,8 +261,8 @@ def emit_lz_streams(
                 init.extend([meta_ref[j, off_nxt + 0], jnp.int32(0)])
             jax.lax.while_loop(cond, body, tuple(init))
 
-        walk(O_CC, O_NC, copy_piece, 4)
-        walk(O_CL, O_NL, lit_piece, 2)
+        walk(O_NC, copy_sweep, 4)
+        walk(O_NL, lit_sweep, 2)
 
     out = pl.pallas_call(
         kernel,
@@ -378,95 +410,134 @@ def decode_lz_streams_from_frame(
             ends.append(off_j + jnp.where(
                 meta_ref[j, 2] != 0, meta_ref[j, 1], S))
 
-        def chain_step(j, cursor, outp, lit_rem, bad):
-            """One unit of work for chunk chain j. Returns new state.
+        def unit_sweep(states):
+            """One unit of work for EVERY chunk chain, STAGE-MAJOR.
 
             A unit is (a) a <=1024-byte literal/raw window copy — merged
             with the literal-head tag parse so a typical <=1021-byte
             literal costs ONE step, (b) a batch of <=_KMAX identical
             copy-2 elements with a three-way specialized fill, or (c) a
             rejection. The expensive generic doubling fill only runs for
-            overlapped copies whose period does not divide 128."""
-            live = outp < S
-            is_cont = live & (lit_rem > 0)
-            head = live & (~is_cont)
+            overlapped copies whose period does not divide 128.
 
-            # --- element head parse (2-row window: tags are <= 3 B) --
-            wh = window(scratch, cursor, 1)
-            tag = wh[0, 0]
-            kind = tag & 3
-            t6 = (tag >> 2) & 63
-            is_lit = head & (kind == 0)
-            tl = jnp.where(t6 < 60, 1, jnp.where(t6 == 60, 2, 3))
-            llen = jnp.where(
-                t6 < 60, t6 + 1,
-                jnp.where(t6 == 60, wh[0, 1] + 1,
-                          (wh[0, 1] | (wh[0, 2] << 8)) + 1))
-            is_cp = head & (kind == 2)
-            d = wh[0, 1] | (wh[0, 2] << 8)
-            clen = t6 + 1
+            Stage-major: each stage runs for all _DTC chains before the
+            next (head windows -> parses -> source windows -> fills ->
+            places -> advances). Chains are fully independent, so
+            consecutive instructions belong to different chains and
+            Mosaic's scheduler can hide each chain's serial roll/
+            vector->scalar latency behind its neighbours' — the measured
+            rule that took pallas_exec.py to its ~88 ns/piece floor.
+            Chain-major (the r5 first cut) measured 0.86 us/step on
+            silicon; the per-step critical path (2 window-read roll
+            chains, 3 scalar extracts, a reduce-min, 4 fill rolls, a
+            place roll + 9-row RMW) is latency, not vector work."""
+            # --- stage A: element head windows (2 rows: tags <= 3 B) --
+            whs = [window(scratch, st[0], 1) for st in states]
 
-            badd = jnp.where(is_lit & (t6 > 61), 1, 0)
-            badd += jnp.where(head & ((kind == 1) | (kind == 3)), 1, 0)
-            badd += jnp.where(is_cp & ((d < 8) | (d > outp)), 1, 0)
-            ok_lit = is_lit & (badd == 0)
+            # --- stage B: head byte extracts (vector->scalar), grouped
+            heads = [(wh[0, 0], wh[0, 1], wh[0, 2]) for wh in whs]
 
-            # --- literal bytes: continuation or first window of a head
-            n_lit = jnp.where(is_cont, jnp.minimum(lit_rem, 1024),
-                              jnp.where(ok_lit, jnp.minimum(llen, 1024), 0))
-            src_off = cursor + jnp.where(is_cont, 0, tl)
-            wsrc = window(scratch, src_off, 8)
+            # --- stage C: scalar parse + copy-run extent per chain ----
+            scals = []
+            for j, st in enumerate(states):
+                cursor, outp, lit_rem, bad = st
+                tag, b1, b2 = heads[j]
+                live = outp < S
+                is_cont = live & (lit_rem > 0)
+                head = live & (~is_cont)
+                kind = tag & 3
+                t6 = (tag >> 2) & 63
+                is_lit = head & (kind == 0)
+                tl = jnp.where(t6 < 60, 1, jnp.where(t6 == 60, 2, 3))
+                llen = jnp.where(
+                    t6 < 60, t6 + 1,
+                    jnp.where(t6 == 60, b1 + 1, (b1 | (b2 << 8)) + 1))
+                is_cp = head & (kind == 2)
+                d = b1 | (b2 << 8)
+                clen = t6 + 1
 
-            # --- copy run extent: one pattern row suffices (_KMAX*3+3
-            # bytes < 128); batching capped at the chunk's stream end so
-            # a run can't eat the neighbour's bytes in shared scratch
-            pat = jnp.where(mod3 == 0, tag,
-                            jnp.where(mod3 == 1, wh[0, 1], wh[0, 2]))
-            mism = jnp.where(wh[0:1] != pat, widx1, 128)
-            first = jnp.min(mism)
-            k = jnp.clip(first // 3, 1, _KMAX)
-            k = jnp.minimum(k, jnp.maximum((ends[j] - cursor) // 3, 1))
-            # overlapped copies whose period does NOT divide 128 would
-            # need a doubling-fill loop; cap the batch at d bytes instead
-            # so the fill is always a plain bulk copy — the run just takes
-            # more (predication-free) steps. d | 128 keeps full batching
-            # via the periodic-row build below.
-            d_div = (d <= 128) & ((128 % jnp.maximum(d, 1)) == 0)
-            k_bulk = jnp.maximum(d >> 6, 1)  # floor(d/64) elements
-            k = jnp.where(d_div, k, jnp.minimum(k, k_bulk))
-            k = jnp.where(clen == 64, k, 1)
-            L_out = k * clen
-            ok_cp = is_cp & (badd == 0)
+                badd = jnp.where(is_lit & (t6 > 61), 1, 0)
+                badd += jnp.where(head & ((kind == 1) | (kind == 3)), 1, 0)
+                badd += jnp.where(is_cp & ((d < 8) | (d > outp)), 1, 0)
+                ok_lit = is_lit & (badd == 0)
 
-            # --- unified emission: ONE place per step, NO predication --
-            fsrc = out_window(j, outp - d, 8)
-            # d | 128 and overlapped: every output row is the same
-            # periodic pattern; double the trailing d bytes up to 128
-            row = fsrc[0:1]
-            dd = jnp.minimum(d, 128)  # roll amounts stay in [0, 128]
-            for _r in range(4):  # 8 -> 128 in <= 4 doublings
-                row = jnp.where(lane < dd, row, pltpu.roll(row, dd, 1))
-                dd = jnp.minimum(dd * 2, 128)
-            per_rows = jnp.broadcast_to(row, (8, 128))
-            use_per = (d < L_out) & (d <= 128)
-            e_fill = jnp.where(use_per, per_rows, fsrc)
-            e = jnp.where(ok_cp, e_fill, wsrc)
-            ln = n_lit + jnp.where(ok_cp, L_out, 0)
-            place_out(j, e, outp, ln, 8)
+                # literal bytes: continuation or first window of a head
+                n_lit = jnp.where(
+                    is_cont, jnp.minimum(lit_rem, 1024),
+                    jnp.where(ok_lit, jnp.minimum(llen, 1024), 0))
+                src_off = cursor + jnp.where(is_cont, 0, tl)
 
-            # --- advance --------------------------------------------
-            cursor = cursor + jnp.where(
-                is_cont, n_lit,
-                jnp.where(ok_lit, tl + n_lit, jnp.where(ok_cp, 3 * k, 0)))
-            outp = outp + n_lit + jnp.where(ok_cp, L_out, 0)
-            lit_rem = jnp.where(
-                is_cont, lit_rem - n_lit,
-                jnp.where(ok_lit, llen - n_lit, 0))
-            dead = head & (badd > 0)
-            outp = jnp.where(dead, S, outp)
-            lit_rem = jnp.where(dead, 0, lit_rem)
-            bad = bad + jnp.where(badd > 0, 1, 0)
-            return cursor, outp, lit_rem, bad
+                # copy run extent: one pattern row suffices (_KMAX*3+3
+                # bytes < 128); batching capped at the chunk's stream end
+                # so a run can't eat the neighbour's bytes in scratch
+                pat = jnp.where(mod3 == 0, tag,
+                                jnp.where(mod3 == 1, b1, b2))
+                mism = jnp.where(whs[j][0:1] != pat, widx1, 128)
+                first = jnp.min(mism)
+                k = jnp.clip(first // 3, 1, _KMAX)
+                k = jnp.minimum(k, jnp.maximum((ends[j] - cursor) // 3, 1))
+                # overlapped copies whose period does NOT divide 128
+                # would need a doubling-fill loop; cap the batch at d
+                # bytes instead so the fill is always a plain bulk copy —
+                # the run just takes more (predication-free) steps.
+                # d | 128 keeps full batching via the periodic-row build.
+                d_div = (d <= 128) & ((128 % jnp.maximum(d, 1)) == 0)
+                k_bulk = jnp.maximum(d >> 6, 1)  # floor(d/64) elements
+                k = jnp.where(d_div, k, jnp.minimum(k, k_bulk))
+                k = jnp.where(clen == 64, k, 1)
+                L_out = k * clen
+                ok_cp = is_cp & (badd == 0)
+                ln = n_lit + jnp.where(ok_cp, L_out, 0)
+                scals.append(dict(
+                    is_cont=is_cont, head=head, ok_lit=ok_lit,
+                    ok_cp=ok_cp, badd=badd, tl=tl, llen=llen,
+                    n_lit=n_lit, src_off=src_off, d=d, k=k,
+                    L_out=L_out, ln=ln))
+
+            # --- stage D: stream + out source windows -----------------
+            wsrcs = [window(scratch, sc["src_off"], 8) for sc in scals]
+            fsrcs = [
+                out_window(j, states[j][1] - sc["d"], 8)
+                for j, sc in enumerate(scals)
+            ]
+
+            # --- stage E: unified fill + place (RMW per chain) --------
+            es = []
+            for j, sc in enumerate(scals):
+                d = sc["d"]
+                # d | 128 and overlapped: every output row is the same
+                # periodic pattern; double the trailing d bytes to 128
+                row = fsrcs[j][0:1]
+                dd = jnp.minimum(d, 128)  # roll amounts stay in [0, 128]
+                for _r in range(4):  # 8 -> 128 in <= 4 doublings
+                    row = jnp.where(lane < dd, row, pltpu.roll(row, dd, 1))
+                    dd = jnp.minimum(dd * 2, 128)
+                per_rows = jnp.broadcast_to(row, (8, 128))
+                use_per = (d < sc["L_out"]) & (d <= 128)
+                e_fill = jnp.where(use_per, per_rows, fsrcs[j])
+                es.append(jnp.where(sc["ok_cp"], e_fill, wsrcs[j]))
+            for j, sc in enumerate(scals):
+                place_out(j, es[j], states[j][1], sc["ln"], 8)
+
+            # --- stage F: advance -------------------------------------
+            out = []
+            for j, sc in enumerate(scals):
+                cursor, outp, lit_rem, bad = states[j]
+                n_lit = sc["n_lit"]
+                cursor = cursor + jnp.where(
+                    sc["is_cont"], n_lit,
+                    jnp.where(sc["ok_lit"], sc["tl"] + n_lit,
+                              jnp.where(sc["ok_cp"], 3 * sc["k"], 0)))
+                outp = outp + n_lit + jnp.where(sc["ok_cp"], sc["L_out"], 0)
+                lit_rem = jnp.where(
+                    sc["is_cont"], lit_rem - n_lit,
+                    jnp.where(sc["ok_lit"], sc["llen"] - n_lit, 0))
+                dead = sc["head"] & (sc["badd"] > 0)
+                outp = jnp.where(dead, S, outp)
+                lit_rem = jnp.where(dead, 0, lit_rem)
+                bad = bad + jnp.where(sc["badd"] > 0, 1, 0)
+                out.append((cursor, outp, lit_rem, bad))
+            return out
 
         # init per chain
         carry = []
@@ -498,12 +569,14 @@ def decode_lz_streams_from_frame(
         def body(c):
             # two units per chain per iteration: the while-loop boundary
             # costs ~600 ns (pallas_exec measured fact); unrolling halves
-            # the boundary tax on piece-dense streams
+            # the boundary tax on piece-dense streams. Each unit is one
+            # stage-major sweep over all chains; unit 2 depends on unit 1
+            # per chain (sequential sweeps), chains never on each other.
+            states = [tuple(c[4 * j: 4 * j + 4]) for j in range(_DTC)]
+            states = unit_sweep(states)
+            states = unit_sweep(states)
             out = []
-            for j in range(_DTC):
-                st = chain_step(
-                    j, c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3])
-                st = chain_step(j, *st)
+            for st in states:
                 out.extend(st)
             return tuple(out) + (c[4 * _DTC] + 1,)
 
